@@ -1,0 +1,350 @@
+"""Time-weighted interval averaging — the flagship operator.
+
+Reproduces ``intervalaverage::intervalaverage`` (reference:
+R/intervalaverage_functions.R:201-489 + fused C++ kernel src/code.cpp:7-185)
+as a lazy DataFrame plan:
+
+    range join (x onto deduped y)  →  grouped aggregate  →  join-back to y
+
+Semantics (all intervals closed, length = end-start+1):
+  * one output row per deduplicated y row
+  * per value var v over matched x rows with overlap ``os=max(xs,ys)``,
+    ``oe=min(xe,ye)``, weight ``w=oe-os+1``:
+      - v        = Σ(w·v | v not null) / Σ(w | v not null), masked to NULL
+                   when nobs_v == 0 (NaN→NA, src/code.cpp:169 + :471-474) or
+                   when 100·nobs_v/yduration < required_percentage
+                   (strict <, R/intervalaverage_functions.R:466-469)
+      - nobs_v   = Σ(w | v not null)            (src/code.cpp:137)
+      - maxgap_v = longest run of structurally-uncovered or v-null time
+                   inside [ys,ye], incl. lead-in (last_observed=ys-1 init,
+                   src/code.cpp:91) and tail (ye-last_observed, no -1,
+                   src/code.cpp:162-167); NA stretches merge with adjacent
+                   structural gaps (src/code.cpp:145-156)
+  * xduration = Σ w (all matched rows), xminstart = min(os),
+    xmaxend = max(oe)   (src/code.cpp:118-127, 68-75)
+  * unmatched y row: values NULL, xduration=0, nobs=0, xminstart/xmaxend
+    NULL, maxgap = yduration   (src/code.cpp:32-50)
+
+Scale notes: everything except maxgap is a plain shuffled partial-aggregate
+(map-side combine, whole-stage codegen). maxgap is order-dependent, so it
+runs as a JVM-side higher-order ``aggregate`` over a per-y sorted
+``collect_list`` — no Python boundary, no second shuffle (it shares the
+groupBy). Matched-rows-per-y is bounded by design in the tier cascade
+(≤ ~32 child points per rollup window), so the collected arrays stay small.
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.plans.rangejoin import range_join
+from intervalaverage_spark.validation import check_intervals, check_schema
+
+_EPOCH = "1970-01-01"
+
+
+def _to_int_days(c: Column) -> Column:
+    return F.datediff(c, F.lit(_EPOCH).cast("date")).cast("long")
+
+
+def _from_int_days(c: Column) -> Column:
+    return F.date_add(F.lit(_EPOCH).cast("date"), c.cast("int"))
+
+
+def _prep(
+    df: DataFrame,
+    interval_vars: Sequence[str],
+    s_alias: str,
+    e_alias: str,
+    keep: Sequence[str],
+    is_date: bool,
+) -> DataFrame:
+    s, e = (F.col(interval_vars[0]), F.col(interval_vars[1]))
+    if is_date:
+        s, e = _to_int_days(s), _to_int_days(e)
+    else:
+        s, e = s.cast("long"), e.cast("long")
+    return df.select(*keep, s.alias(s_alias), e.alias(e_alias))
+
+
+def _maxgap_expr(rows: Column, null_field: str, ys: Column, ye: Column) -> Column:
+    """src/code.cpp:91-167 as a higher-order fold over overlap rows sorted
+    by overlap start. Accumulator (mx, gap, last) = (max gap so far,
+    running uncovered count, last observed time)."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(zero.alias("mx"), zero.alias("gap"), (ys - 1).alias("last"))
+
+    def merge(acc: Column, r: Column) -> Column:
+        g1 = acc["gap"] + r["s"] - acc["last"] - 1          # structural gap
+        g2 = g1 + (r["e"] - r["s"] + 1)                      # + NA stretch
+        is_na = r[null_field]
+        return F.struct(
+            F.when(is_na, F.greatest(acc["mx"], g2))
+            .otherwise(F.greatest(acc["mx"], g1))
+            .alias("mx"),
+            F.when(is_na, g2).otherwise(zero).alias("gap"),
+            r["e"].alias("last"),                            # unconditional
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.greatest(acc["mx"], acc["gap"] + ye - acc["last"])  # tail, no -1
+
+    return F.aggregate(rows, init, merge, finish)
+
+
+def interval_average(
+    x: DataFrame,
+    y: DataFrame,
+    interval_vars: Sequence[str],
+    value_vars: Sequence[str],
+    group_vars: Sequence[str] = (),
+    required_percentage: float = 100.0,
+    skip_overlap_check: bool = False,
+    validate: bool = True,
+    strategy: str = "auto",
+    bucket_width: int | None = None,
+    salt: int | None = None,
+) -> DataFrame:
+    """Time-weighted average of x's value columns onto y's intervals.
+
+    ``interval_vars=(start,end)`` must name the same columns in x and y
+    (named x→y mapping is forbidden for this operator, reference
+    R/intervalaverage_functions.R:233-234). Returns one row per deduped
+    y row with columns ``(*group_vars, *interval_vars, *value_vars,
+    yduration, xduration, nobs_*, xminstart, xmaxend, maxgap_*)``.
+    """
+    group_vars = list(group_vars)
+    value_vars = list(value_vars)
+    iv = list(interval_vars)
+    x_dates = check_schema(x, iv, group_vars, value_vars)
+    y_dates = check_schema(y, iv, group_vars)
+    if x_dates != y_dates:
+        raise ValueError("x and y interval columns must share a class (int vs date)")
+
+    if validate:
+        check_intervals(
+            x, iv[0], iv[1], group_vars,
+            require_non_overlapping=not skip_overlap_check,
+            forbid_duplicates=True, label="x",
+        )
+        check_intervals(y, iv[0], iv[1], group_vars, label="y")
+
+    xp = _prep(x, iv, "__ia_xs", "__ia_xe", [*group_vars, *value_vars], x_dates)
+    yp = _prep(y, iv, "__ia_ys", "__ia_ye", group_vars, y_dates).dropDuplicates(
+        [*group_vars, "__ia_ys", "__ia_ye"]
+    )
+    if validate:
+        n_y, n_yd = y.count(), yp.count()
+        if n_yd < n_y:
+            warnings.warn(
+                f"y contained {n_y - n_yd} duplicate rows; duplicates removed "
+                "(reference: R/intervalaverage_functions.R:315-322)",
+                stacklevel=2,
+            )
+
+    # --- range join: x pairs onto deduped y (inner; unmatched y restored
+    # by the join-back below, which also turns the whole thing into the
+    # right-join semantics of the reference, :412-430)
+    xg = [f"__ia_xg{i}" for i in range(len(group_vars))]
+    xr = xp.select(
+        *[F.col(g).alias(a) for g, a in zip(group_vars, xg)],
+        *value_vars, "__ia_xs", "__ia_xe",
+    )
+    pairs = range_join(
+        xr, yp,
+        ("__ia_xs", "__ia_xe"), ("__ia_ys", "__ia_ye"),
+        group_vars=dict(zip(xg, group_vars)),
+        strategy=strategy, bucket_width=bucket_width, salt=salt,
+    ).drop(*xg)
+
+    os_ = F.greatest(F.col("__ia_xs"), F.col("__ia_ys"))
+    oe_ = F.least(F.col("__ia_xe"), F.col("__ia_ye"))
+    w = oe_ - os_ + 1
+
+    null_fields = [f"n{i}" for i in range(len(value_vars))]
+    row_struct = F.struct(
+        os_.alias("s"),
+        oe_.alias("e"),
+        *[F.col(v).isNull().alias(nf) for v, nf in zip(value_vars, null_fields)],
+    )
+
+    aggs = [
+        F.sum(w).alias("__ia_xdur"),
+        F.min(os_).alias("__ia_xmin"),
+        F.max(oe_).alias("__ia_xmax"),
+        F.sort_array(F.collect_list(row_struct)).alias("__ia_rows"),
+    ]
+    for v, nf in zip(value_vars, null_fields):
+        nn = F.col(v).isNotNull()
+        aggs.append(F.sum(F.when(nn, w * F.col(v))).alias(f"__ia_swv_{v}"))
+        aggs.append(F.sum(F.when(nn, w)).alias(f"__ia_nobs_{v}"))
+
+    gkeys = [*group_vars, "__ia_ys", "__ia_ye"]
+    agg = pairs.groupBy(*gkeys).agg(*aggs)
+    mg = [
+        _maxgap_expr(F.col("__ia_rows"), nf, F.col("__ia_ys"), F.col("__ia_ye")).alias(
+            f"__ia_mg_{v}"
+        )
+        for v, nf in zip(value_vars, null_fields)
+    ]
+    agg = agg.select(*gkeys, "__ia_xdur", "__ia_xmin", "__ia_xmax",
+                     *[c for v in value_vars for c in (f"__ia_swv_{v}", f"__ia_nobs_{v}")],
+                     *mg)
+
+    # --- join back onto deduped y so unmatched y rows survive (null-safe on
+    # group keys: NA group values join like values, data.table semantics).
+    # All agg-side keys get fresh names: agg shares lineage with yp, so
+    # same-name column references would resolve ambiguously.
+    ar = agg
+    renames = [(g, f"__ia_a_{g}") for g in group_vars]
+    renames += [("__ia_ys", "__ia_a_ys"), ("__ia_ye", "__ia_a_ye")]
+    for old, new in renames:
+        ar = ar.withColumnRenamed(old, new)
+    cond = (yp["__ia_ys"] == ar["__ia_a_ys"]) & (yp["__ia_ye"] == ar["__ia_a_ye"])
+    for g in group_vars:
+        cond = yp[g].eqNullSafe(ar[f"__ia_a_{g}"]) & cond
+    joined = yp.join(ar, cond, "left").drop(*[new for _, new in renames])
+
+    ydur = (F.col("__ia_ye") - F.col("__ia_ys") + 1).cast("long")
+    out_cols: list[Column] = [F.col(g) for g in group_vars]
+    if y_dates:
+        out_cols += [
+            _from_int_days(F.col("__ia_ys")).alias(iv[0]),
+            _from_int_days(F.col("__ia_ye")).alias(iv[1]),
+        ]
+    else:
+        s_t = y.schema[iv[0]].dataType.simpleString()
+        e_t = y.schema[iv[1]].dataType.simpleString()
+        out_cols += [
+            F.col("__ia_ys").cast(s_t).alias(iv[0]),
+            F.col("__ia_ye").cast(e_t).alias(iv[1]),
+        ]
+    for v in value_vars:
+        nobs = F.coalesce(F.col(f"__ia_nobs_{v}"), F.lit(0)).cast("long")
+        avg = F.col(f"__ia_swv_{v}") / F.col(f"__ia_nobs_{v}")
+        masked = F.when(
+            (nobs > 0)
+            & (F.lit(100.0) * nobs / ydur >= F.lit(float(required_percentage))),
+            avg,
+        ).cast("double")
+        out_cols.append(masked.alias(v))
+    out_cols.append(ydur.alias("yduration"))
+    out_cols.append(F.coalesce(F.col("__ia_xdur"), F.lit(0)).cast("long").alias("xduration"))
+    for v in value_vars:
+        out_cols.append(
+            F.coalesce(F.col(f"__ia_nobs_{v}"), F.lit(0)).cast("long").alias(f"nobs_{v}")
+        )
+    xmin, xmax = F.col("__ia_xmin"), F.col("__ia_xmax")
+    if y_dates:
+        xmin, xmax = _from_int_days(xmin), _from_int_days(xmax)
+    out_cols += [xmin.alias("xminstart"), xmax.alias("xmaxend")]
+    for v in value_vars:
+        out_cols.append(
+            F.coalesce(F.col(f"__ia_mg_{v}"), ydur).cast("long").alias(f"maxgap_{v}")
+        )
+
+    return joined.select(*out_cols).orderBy(*group_vars, *iv)
+
+
+def interval_average_slow(
+    x: DataFrame,
+    y: DataFrame,
+    interval_vars: Sequence[str],
+    value_vars: Sequence[str],
+    group_vars: Sequence[str] = (),
+    required_percentage: float = 100.0,
+) -> DataFrame:
+    """Brute-force differential oracle: expand every interval to unit
+    increments, equi-join on (group, t), plain means. Mirrors the
+    reference's independent slow path (R/intervalaverage_functions.R:496-705,
+    technicaloverview.Rmd:79) — intentionally a DIFFERENT algorithm from
+    :func:`interval_average` (islands-trick maxgap instead of the fold).
+    Test/small-scale use only (memory: one row per covered time unit).
+    """
+    group_vars = list(group_vars)
+    value_vars = list(value_vars)
+    iv = list(interval_vars)
+    x_dates = check_schema(x, iv, group_vars, value_vars)
+    y_dates = check_schema(y, iv, group_vars)
+
+    xp = _prep(x, iv, "__s", "__e", [*group_vars, *value_vars], x_dates)
+    yp = _prep(y, iv, "__s", "__e", group_vars, y_dates).dropDuplicates()
+
+    xx = xp.select(
+        *group_vars, *value_vars,
+        F.explode(F.sequence("__s", "__e")).alias("__t"),
+        F.lit(1).alias("__m"),
+    )
+    grid = yp.select(
+        *group_vars, "__s", "__e", F.explode(F.sequence("__s", "__e")).alias("__t")
+    )
+    xg = [f"__xg{i}" for i in range(len(group_vars))]
+    xxr = xx.select(*[F.col(g).alias(a) for g, a in zip(group_vars, xg)], *value_vars, "__t", "__m")
+    cond = grid["__t"] == xxr["__t"]
+    for g, a in zip(group_vars, xg):
+        cond = grid[g].eqNullSafe(xxr[a]) & cond
+    j = grid.join(xxr, cond, "left").drop(xxr["__t"]).drop(*xg)
+
+    ykeys = [*group_vars, "__s", "__e"]
+    aggs = [
+        F.count("__m").alias("xduration"),
+        F.min(F.when(F.col("__m").isNotNull(), F.col("__t"))).alias("__xmin"),
+        F.max(F.when(F.col("__m").isNotNull(), F.col("__t"))).alias("__xmax"),
+    ]
+    for v in value_vars:
+        aggs += [
+            F.avg(v).alias(f"__avg_{v}"),
+            F.count(v).alias(f"nobs_{v}"),
+        ]
+    agg = j.groupBy(*ykeys).agg(*aggs)
+
+    # maxgap via gaps-and-islands over the dense unit grid
+    for v in value_vars:
+        unc = j.filter(F.col("__m").isNull() | F.col(v).isNull())
+        wspec = Window.partitionBy(*ykeys).orderBy("__t")
+        runs = (
+            unc.withColumn("__grp", F.col("__t") - F.row_number().over(wspec))
+            .groupBy(*ykeys, "__grp").agg(F.count("*").alias("__len"))
+            .groupBy(*ykeys).agg(F.max("__len").alias(f"maxgap_{v}"))
+        )
+        rr = runs
+        for k in ykeys:
+            rr = rr.withColumnRenamed(k, f"__r_{k}")
+        c = F.lit(True)
+        for k in ykeys:
+            c = c & agg[k].eqNullSafe(rr[f"__r_{k}"])
+        agg = agg.join(rr, c, "left").drop(*[f"__r_{k}" for k in ykeys])
+
+    ydur = (F.col("__e") - F.col("__s") + 1).cast("long")
+    out: list[Column] = [F.col(g) for g in group_vars]
+    if y_dates:
+        out += [_from_int_days(F.col("__s")).alias(iv[0]), _from_int_days(F.col("__e")).alias(iv[1])]
+    else:
+        out += [
+            F.col("__s").cast(y.schema[iv[0]].dataType.simpleString()).alias(iv[0]),
+            F.col("__e").cast(y.schema[iv[1]].dataType.simpleString()).alias(iv[1]),
+        ]
+    for v in value_vars:
+        nobs = F.col(f"nobs_{v}")
+        out.append(
+            F.when(
+                (nobs > 0)
+                & (F.lit(100.0) * nobs / ydur >= F.lit(float(required_percentage))),
+                F.col(f"__avg_{v}"),
+            ).cast("double").alias(v)
+        )
+    out += [ydur.alias("yduration"), F.col("xduration").cast("long").alias("xduration")]
+    out += [F.col(f"nobs_{v}").cast("long").alias(f"nobs_{v}") for v in value_vars]
+    xmin, xmax = F.col("__xmin"), F.col("__xmax")
+    if y_dates:
+        xmin, xmax = _from_int_days(xmin), _from_int_days(xmax)
+    out += [xmin.alias("xminstart"), xmax.alias("xmaxend")]
+    out += [
+        F.coalesce(F.col(f"maxgap_{v}"), F.lit(0)).cast("long").alias(f"maxgap_{v}")
+        for v in value_vars
+    ]
+    return agg.select(*out).orderBy(*group_vars, *iv)

@@ -1,0 +1,39 @@
+"""Overlap detection — ``is.overlapping`` (reference R/isoverlapping.R:51-87).
+
+Existence-only check: does ANY pair of intervals within a group overlap
+(closed intervals — touching endpoints count, test-Cisoverlapping.R:8)?
+The reference deliberately avoids a full self-join (R/isoverlapping.R:17-21);
+so do we: sort within group, compare each start to the previous end via a
+``lag`` window (kernel src/Cisoverlapping.cpp:16-21), then ``limit 1``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.operators.average import _prep
+from intervalaverage_spark.validation import check_intervals, check_schema
+
+
+def is_overlapping(
+    x: DataFrame,
+    interval_vars: Sequence[str],
+    group_vars: Sequence[str] = (),
+    validate: bool = True,
+) -> bool:
+    iv = list(interval_vars)
+    gv = list(group_vars)
+    is_date = check_schema(x, iv, gv, reserved_ok=True)
+    if validate:
+        check_intervals(x, iv[0], iv[1], gv, label="x")
+    xp = _prep(x, iv, "__s", "__e", gv, is_date)
+    w = Window.partitionBy(*gv).orderBy("__s", "__e")
+    hits = (
+        xp.select((F.col("__s") <= F.lag("__e").over(w)).alias("ov"))
+        .filter(F.col("ov"))
+        .limit(1)
+    )
+    return len(hits.collect()) > 0
