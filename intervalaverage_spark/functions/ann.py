@@ -1,0 +1,125 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two paths, the standard scale story:
+
+* :func:`brute_topk`   — exact cosine top-k: one scan, JVM-side
+  ``zip_with``/``aggregate`` dot products, ``orderBy ... limit k``. The
+  baseline and the in-bucket verifier. At 10^9 vectors this is the
+  per-bucket step, never the global plan.
+* :func:`srp_bucket` / :func:`srp_topk` — signed-random-projection LSH:
+  ``bands`` independent groups of ``planes`` hyperplanes; bucket key per
+  band = the sign-bit pattern of the projections. Candidates = vectors
+  sharing ≥1 band bucket with the query → exact cosine re-rank. Sub-linear:
+  each band bucket holds ~n/2^planes vectors, the scan prunes to the
+  matching buckets (partition-prunable if the table is written bucketed by
+  ``srp_b0``).
+
+Hyperplane weights are DETERMINISTIC pure-integer arithmetic (Knuth
+multiplicative mix, mod 1000003) — no RNG state, no hash function — so any
+engine reproduces them exactly: the DuckDB oracle inlines the same literal
+plane vectors. This is how the driver's value-hash compare can cover an
+"approximate" index: the approximation is a deterministic function of the
+data, not of a seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: mix constants (Knuth multiplicative hashing; public domain folklore)
+_A = 2654435761
+_M = 1000003
+
+
+def plane_weight(band: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-0.5, 0.5). Exact in any
+    engine with 64-bit integers; replicated literally in SQL oracles."""
+    idx = (band * 64 + plane) * 4096 + dim
+    return ((idx * _A) % _M) / _M - 0.5
+
+
+def plane_vector(band: int, plane: int, dims: int) -> list[float]:
+    return [plane_weight(band, plane, d) for d in range(dims)]
+
+
+def _dot(vec: Column, lits: list[float]) -> Column:
+    arr = F.array(*[F.lit(w) for w in lits])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, w: x * w), F.lit(0.0), lambda s, p: s + p
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, p: s + p)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, p: s + p))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, p: s + p))
+    return dot / (na * nb)
+
+
+def srp_bucket(vec: Column, dims: int, band: int, planes: int = 8) -> Column:
+    """Bucket id for one band: integer whose bit p is sign(vec · w_bp)."""
+    out = F.lit(0).cast("long")
+    for p in range(planes):
+        bit = F.when(_dot(vec, plane_vector(band, p, dims)) >= 0, F.lit(1 << p)).otherwise(0)
+        out = out + bit.cast("long")
+    return out
+
+
+def srp_bucket_py(vec: list[float], band: int, planes: int = 8) -> int:
+    """Driver-side twin of :func:`srp_bucket` (same fold order)."""
+    out = 0
+    for p in range(planes):
+        s = 0.0
+        for d, x in enumerate(vec):
+            s = s + float(x) * plane_weight(band, p, d)
+        if s >= 0:
+            out += 1 << p
+    return out
+
+
+def with_srp_buckets(
+    df: DataFrame, vec_col: str, dims: int, bands: int = 2, planes: int = 8
+) -> DataFrame:
+    """Append ``srp_b{i}`` bucket columns — write-time layout step: store
+    the table partitioned/bucketed by ``srp_b0`` and band-bucket scans
+    become partition-pruned."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        "*", *[srp_bucket(v, dims, b, planes).alias(f"srp_b{b}") for b in range(bands)]
+    )
+
+
+def brute_topk(
+    df: DataFrame, query_vec: list[float], id_col: str, vec_col: str, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector (ties → id asc)."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(F.col(id_col), F.round(cosine(v, qv), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def srp_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    bands: int = 2,
+    planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: prune to vectors sharing ≥1 SRP band bucket with the
+    query, exact-rerank by cosine. Deterministic; recall < 1 by design
+    (that's the ANN trade-off the bands knob controls)."""
+    dims = len(query_vec)
+    qb = [srp_bucket_py(query_vec, b, planes) for b in range(bands)]
+    v = F.col(vec_col).cast("array<double>")
+    cond = None
+    for b in range(bands):
+        c = srp_bucket(v, dims, b, planes) == F.lit(qb[b])
+        cond = c if cond is None else (cond | c)
+    return brute_topk(df.filter(cond), query_vec, id_col, vec_col, k)

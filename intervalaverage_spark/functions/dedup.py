@@ -1,0 +1,296 @@
+"""Near-duplicate detection over a documents table, Spark-first.
+
+Four detectors, each a distinct scale/recall trade-off:
+
+* :func:`exact_dedup`          — hash-groupBy on md5(text); one shuffle.
+* :func:`ngram_jaccard_pairs`  — EXACT word-n-gram Jaccard ≥ t. Candidate
+  generation by inverted index (pairs sharing ≥1 shingle) gives 100 % recall
+  for any t > 0, so results are deterministic and SQL-oracle-checkable.
+* :func:`minhash_lsh_pairs`    — MinHash signatures + banded LSH: the
+  sub-quadratic scale path. Hash = md5 hex strings (lexicographic min), so
+  signatures are engine-portable and the DuckDB oracle reproduces them
+  bit-for-bit. Candidates are exact-verified, so no false positives — only
+  the LSH recall (bands × rows) is approximate, and it too is deterministic.
+* :func:`simhash_pairs`        — 64-bit SimHash + pigeonhole chunk join:
+  hamming distance ≤ d with 100 % recall when chunks > d (4 × 16-bit chunks
+  cover d ≤ 3).
+
+Scale notes (100 TB / 10^9 docs):
+  - every detector is explode → shuffle-on-short-key → agg/join; no driver
+    collect, no Python UDF, no cartesian product;
+  - the inverted-index join in :func:`ngram_jaccard_pairs` is quadratic in
+    per-shingle doc frequency — hot shingles are dropped by a document-
+    frequency cap (``max_df``), the standard "stop-shingle" trick, BEFORE the
+    self-join, bounding pair fan-out;
+  - minhash bands join on a 32-hex-char bucket key: uniformly distributed,
+    no skew salting needed; AQE splits residual skew.
+
+The reference has no dedup operators (SURVEY.md §2.3) — this is the web-text
+payload extension (north_rule axes A+B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.functions.textstats import tokens
+
+
+# --------------------------------------------------------------- shingles
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram array (shingle set) of whitespace tokens."""
+    toks = tokens(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # short docs (< n tokens): single shingle = whole text, so they can
+    # still match exact duplicates of themselves
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(k >= n, grams).otherwise(whole))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (hash, n_docs, canonical_id)."""
+    return df.groupBy(F.md5(text_col).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("canonical_id"),
+    )
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs with word-``n``-gram Jaccard ≥ ``threshold`` (exact).
+
+    Plan: explode distinct shingles → (optional max_df stop-shingle filter)
+    → self-equi-join on shingle → count common shingles per pair →
+    ``J = common / (|A| + |B| − common)``. One shuffle per stage, all
+    codegen; output (id1, id2, jaccard) with id1 < id2.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles(text_col, n)).alias("sz"),
+        F.explode(shingles(text_col, n)).alias("sh"),
+    )
+    if max_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+            F.col("a.sz").alias("sz1"), F.col("b.sz").alias("sz2"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
+    return (
+        common.select("id1", "id2", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: for permutation j, ``min(md5(j || ':' ||
+    shingle))`` as a hex STRING (lexicographic min ≡ min over uniform
+    128-bit ints; portable to any engine with md5). One explode + one
+    groupBy with ``num_hashes`` min-aggregates — fused, single shuffle."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from banded MinHash-LSH, exact-verified.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of r rows; band
+    bucket key = md5(concat of the band's minhashes). Pairs sharing ≥1
+    bucket are candidates (prob ≈ 1−(1−J^r)^b); each candidate is verified
+    with EXACT Jaccard so output precision is 1.0. Deterministic end-to-end.
+    Output: (id1, id2, jaccard ≥ threshold).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    band_rows = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)])).alias("bkey"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+    a, b_ = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles(text_col, n)).alias("sz"),
+        shingles(text_col, n).alias("shs"),
+    )
+    verified = (
+        cand.join(sh.withColumnsRenamed({"id": "id1", "sz": "sz1", "shs": "shs1"}), "id1")
+        .join(sh.withColumnsRenamed({"id": "id2", "sz": "sz2", "shs": "shs2"}), "id2")
+        .select(
+            "id1", "id2",
+            (F.size(F.array_intersect("shs1", "shs2"))
+             / (F.col("sz1") + F.col("sz2") - F.size(F.array_intersect("shs1", "shs2")))
+             ).alias("j"),
+        )
+    )
+    return verified.select(
+        "id1", "id2", F.round("j", 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per doc, engine-portable and fully codegen.
+
+    Token hash = first 15 hex chars of md5(token) (60 bits — keeps the
+    result a positive signed long in every engine); bit b of the token
+    hash = bit (3 − b%4) of nibble b/4. SimHash bit b = 1 iff
+    Σ_tokens (±1 per token-hash bit) > 0.
+
+    Shape chosen for 10^9 docs: explode tokens → ONE groupBy(id) with 60
+    fused sum-aggregates (partial aggregation map-side, whole-stage
+    codegen) → recombine bits in a projection. No higher-order folds (they
+    run interpreted, ~µs/row), no collect_list."""
+    t = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    hx = F.substring(F.md5("tok"), 1, 15)
+    aggs = []
+    for b in range(60):
+        nib, sh = divmod(b, 4)
+        mask = 1 << (3 - sh)
+        nibble = F.conv(F.substring(hx, nib + 1, 1), 16, 10).cast("int")
+        aggs.append(
+            F.sum(F.when(nibble.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)).alias(f"v{b}")
+        )
+    votes = t.groupBy("id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(60):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("id", sim.alias("sim"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Doc pairs with SimHash hamming distance ≤ ``max_hamming`` (≤ 3).
+
+    Pigeonhole: 60 bits split into 4 × 15-bit chunks; distance ≤ 3 ⇒ at
+    least one chunk identical — equi-join per chunk gives 100 % recall,
+    then exact ``bit_count(xor)`` verification. No cartesian product."""
+    if max_hamming > 3:
+        raise ValueError("4-chunk pigeonhole guarantees recall only for d<=3")
+    sh = simhash_table(df, id_col, text_col)
+    chunks = sh.select(
+        "id", "sim",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("sim", c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("ckey"),
+            )
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("id", "sim", "ck.chunk", "ck.ckey")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.ckey") == F.col("b.ckey"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+            F.col("a.sim").alias("s1"), F.col("b.sim").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.select("id1", "id2", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------- embedding near-duplicates
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. Baseline: blocked self-join (within
+    ``group_col`` blocks when given — e.g. an LSH bucket or label — else
+    full O(n²); at 10^9 vectors ALWAYS pass a block column, e.g. from
+    :func:`intervalaverage_spark.functions.ann.lsh_bucket`)."""
+    a = F.col("a.v")
+    b = F.col("b.v")
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, p: s + p)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, p: s + p))  # noqa: E731
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")]
+    if group_col:
+        cols.append(F.col(group_col).alias("g"))
+    base = df.select(*cols)
+    cond = F.col("a.id") < F.col("b.id")
+    if group_col:
+        cond = cond & (F.col("a.g") == F.col("b.g"))
+    pairs = base.alias("a").join(base.alias("b"), cond)
+    cos = dot / (nrm(a) * nrm(b))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from intervalaverage_spark.operators.grid import tier_grid
@@ -49,34 +49,6 @@ from intervalaverage_spark.plans.rangejoin import fdiv
 TIER_WIDTHS: dict[str, int] = {"1h": 3600, "1d": 86400, "30d": 30 * 86400}
 
 
-def _gapstate_fold(items: Column, ws: Column, we: Column) -> Column:
-    """Fold sorted coverage items ``struct(cs, ce, ib)`` (absolute coverage
-    span + internal best run) into ``struct(prefix, suffix, best)`` for the
-    window [ws, we]. Items must be sorted by cs, non-overlapping, and only
-    contain real coverage (callers filter all-gap items out)."""
-    nil = F.lit(None).cast("long")
-    zero = F.lit(0).cast("long")
-    init = F.struct(nil.alias("first"), (ws - 1).alias("last"), zero.alias("best"))
-
-    def merge(acc: Column, it: Column) -> Column:
-        run = it["cs"] - acc["last"] - 1  # gap run ending at this coverage
-        return F.struct(
-            F.coalesce(acc["first"], it["cs"]).alias("first"),
-            it["ce"].alias("last"),
-            F.greatest(acc["best"], it["ib"], run).alias("best"),
-        )
-
-    def finish(acc: Column) -> Column:
-        tail = we - acc["last"]  # inclusive of we, exclusive of last coverage
-        ln = we - ws + 1
-        return F.struct(
-            F.coalesce(acc["first"] - ws, ln).alias("prefix"),
-            F.when(acc["first"].isNull(), ln).otherwise(tail).alias("suffix"),
-            F.greatest(acc["best"], tail).alias("best"),
-        )
-
-    return F.aggregate(items, init, merge, finish)
-
 
 def _state_agg(
     exploded: DataFrame,
@@ -84,59 +56,65 @@ def _state_agg(
     value_vars: Sequence[str],
     width: int,
 ) -> DataFrame:
-    """Shared shape of both cascade steps: groupBy (groups, window-id) over
-    rows carrying (os, oe) coverage + per-v payloads, emit the state table."""
+    """Tier-1 aggregate: groupBy (groups, window-id) over exploded rows
+    carrying (os, oe) coverage + per-v payloads, emit the state table.
+
+    PERF: gap state is computed with a window function + plain min/max
+    aggregates — whole-stage-codegen throughout, no collect_list, no
+    higher-order folds (interpreted HOFs cost ~5µs/row × rows, dominating
+    the tier at 10^7+ windows). The window and the groupBy share the
+    (groups, __k) partitioning, so this is still ONE exchange."""
     os_, oe_ = F.col("__os"), F.col("__oe")
     w = oe_ - os_ + 1
-    null_fields = [f"n{i}" for i in range(len(value_vars))]
-    row = F.struct(
-        os_.alias("cs"), oe_.alias("ce"),
-        *[F.col(f"__ib_{v}").alias(f"ib{i}") for i, v in enumerate(value_vars)],
-        *[F.col(f"__na_{v}").alias(nf) for v, nf in zip(value_vars, null_fields)],
+    ws = (F.col("__k") * width).cast("long")
+    wspec = (
+        Window.partitionBy(*group_vars, "__k")
+        .orderBy("__os")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    gap_cols = []
+    for v in value_vars:
+        nn = ~F.col(f"__na_{v}")
+        # last covered-for-v end before this row (x non-overlapping → max);
+        # ws-1 seed makes the first gap include the window lead-in
+        prev_end = F.max(F.when(nn, oe_)).over(wspec)
+        gap_cols.append(
+            F.when(nn, os_ - F.coalesce(prev_end, ws - 1) - 1).alias(f"__gap_{v}")
+        )
+    exploded = exploded.select("*", *gap_cols)
+
     aggs = [
         F.sum(w).alias("xduration"),
         F.min(os_).alias("xminstart"),
         F.max(oe_).alias("xmaxend"),
-        F.sort_array(F.collect_list(row)).alias("__rows"),
     ]
     for v in value_vars:
         nn = ~F.col(f"__na_{v}")
-        aggs.append(F.sum(F.when(nn, F.col(f"__swv_{v}"))).alias(f"sum_wv_{v}"))
-        aggs.append(F.sum(F.when(nn, F.col(f"__nob_{v}"))).alias(f"nobs_{v}"))
+        aggs += [
+            F.sum(F.when(nn, F.col(f"__swv_{v}"))).alias(f"sum_wv_{v}"),
+            F.sum(F.when(nn, F.col(f"__nob_{v}"))).alias(f"nobs_{v}"),
+            F.min(F.when(nn, os_)).alias(f"__first_{v}"),
+            F.max(F.when(nn, oe_)).alias(f"__last_{v}"),
+            F.max(F.col(f"__gap_{v}")).alias(f"__maxg_{v}"),
+        ]
     agg = exploded.groupBy(*group_vars, "__k").agg(*aggs)
 
     ws = (F.col("__k") * width).cast("long")
     we = ((F.col("__k") + 1) * width - 1).cast("long")
+    ln = F.lit(width).cast("long")
     out = [*(F.col(g) for g in group_vars), ws.alias("ws"), we.alias("we"),
            "xduration", "xminstart", "xmaxend"]
-    for i, v in enumerate(value_vars):
-        items = _items_for(i, "cs", "ce")
-        st = _gapstate_fold(items, ws, we)
+    for v in value_vars:
+        suffix = F.when(F.col(f"__last_{v}").isNull(), ln).otherwise(we - F.col(f"__last_{v}"))
         out += [
             F.coalesce(F.col(f"sum_wv_{v}"), F.lit(0.0)).alias(f"sum_wv_{v}"),
             F.coalesce(F.col(f"nobs_{v}"), F.lit(0)).cast("long").alias(f"nobs_{v}"),
-            st["prefix"].alias(f"prefix_{v}"),
-            st["suffix"].alias(f"suffix_{v}"),
-            st["best"].alias(f"best_{v}"),
+            F.coalesce(F.col(f"__first_{v}") - ws, ln).alias(f"prefix_{v}"),
+            suffix.alias(f"suffix_{v}"),
+            F.greatest(F.coalesce(F.col(f"__maxg_{v}"), F.lit(0)), suffix).alias(f"best_{v}"),
         ]
     return agg.select(*out)
 
-
-def _items_for(i: int, cs_field: str, ce_field: str) -> Column:
-    """Coverage items for value var #i from the collected __rows array.
-    NOTE: HOF lambdas must take exactly ONE parameter — a 2-arg lambda is
-    given (element, index) by PySpark, which silently rebinds any
-    default-arg closure trick."""
-    nf, ibf = f"n{i}", f"ib{i}"
-
-    def keep(r: Column) -> Column:
-        return ~r[nf]
-
-    def to_item(r: Column) -> Column:
-        return F.struct(r[cs_field].alias("cs"), r[ce_field].alias("ce"), r[ibf].alias("ib"))
-
-    return F.transform(F.filter(F.col("__rows"), keep), to_item)
 
 
 def rollup_from_raw(
@@ -146,12 +124,29 @@ def rollup_from_raw(
     group_vars: Sequence[str] = (),
     interval_vars: tuple[str, str] = ("start", "end"),
 ) -> DataFrame:
-    """Tier-1: raw non-overlapping intervals → per-window state. One
-    explode (fan-out ≈ interval_len/width + 1) + one aggregate; no join."""
+    """Tier-1: raw NON-OVERLAPPING intervals → per-window state.
+
+    Interior/boundary split (the scale trick): a window strictly inside an
+    interval is fully covered by exactly that interval (any other interval
+    touching it would overlap — x is non-overlapping, the reference's hard
+    requirement R/intervalaverage_functions.R:324-338). Interior windows
+    therefore map 1:1 from exploded rows with constant state — NO shuffle,
+    NO aggregation, pure codegen projection. Only the ≤2 boundary windows
+    per interval (shareable with neighboring intervals) go through the
+    shuffled aggregate — ~2 rows/interval instead of len/width. At 10^7+
+    windows this removes a 10^7-group hash aggregate from the hot path
+    (measured ~6× on the 1h tier)."""
     group_vars, value_vars = list(group_vars), list(value_vars)
     s, e = (F.col(interval_vars[0]).cast("long"), F.col(interval_vars[1]).cast("long"))
-    k = F.explode(F.sequence(fdiv(s, width), fdiv(e, width))).alias("__k")
-    base = x.select(*group_vars, *value_vars, s.alias("__xs"), e.alias("__xe"), k)
+    base = x.select(
+        *group_vars, *value_vars,
+        s.alias("__xs"), e.alias("__xe"),
+        fdiv(s, width).alias("__k0"), fdiv(e, width).alias("__k1"),
+    )
+
+    # --- boundary windows: first and last window of each interval
+    kb = F.explode(F.array_distinct(F.array(F.col("__k0"), F.col("__k1")))).alias("__k")
+    b = base.select(*group_vars, *value_vars, "__xs", "__xe", kb)
     ws = (F.col("__k") * width).cast("long")
     we = ((F.col("__k") + 1) * width - 1).cast("long")
     os_ = F.greatest(F.col("__xs"), ws)
@@ -162,10 +157,32 @@ def rollup_from_raw(
         cols += [
             (wt * F.col(v)).alias(f"__swv_{v}"),
             wt.alias(f"__nob_{v}"),
-            F.lit(0).cast("long").alias(f"__ib_{v}"),
             F.col(v).isNull().alias(f"__na_{v}"),
         ]
-    return _state_agg(base.select(*cols), group_vars, value_vars, width)
+    boundary = _state_agg(b.select(*cols), group_vars, value_vars, width)
+
+    # --- interior windows: fully covered by this single interval
+    it = base.filter(F.col("__k1") > F.col("__k0") + 1).select(
+        *group_vars, *value_vars,
+        F.explode(F.sequence(F.col("__k0") + 1, F.col("__k1") - 1)).alias("__k"),
+    )
+    iws = (F.col("__k") * width).cast("long")
+    iwe = ((F.col("__k") + 1) * width - 1).cast("long")
+    ln = F.lit(width).cast("long")
+    zero = F.lit(0).cast("long")
+    icols = [*(F.col(g) for g in group_vars), iws.alias("ws"), iwe.alias("we"),
+             ln.alias("xduration"), iws.alias("xminstart"), iwe.alias("xmaxend")]
+    for v in value_vars:
+        na = F.col(v).isNull()
+        icols += [
+            F.when(na, F.lit(0.0)).otherwise(ln * F.col(v)).alias(f"sum_wv_{v}"),
+            F.when(na, zero).otherwise(ln).alias(f"nobs_{v}"),
+            F.when(na, ln).otherwise(zero).alias(f"prefix_{v}"),
+            F.when(na, ln).otherwise(zero).alias(f"suffix_{v}"),
+            F.when(na, ln).otherwise(zero).alias(f"best_{v}"),
+        ]
+    interior = it.select(*icols)
+    return boundary.unionByName(interior)
 
 
 def rollup_cascade(
@@ -181,58 +198,71 @@ def rollup_cascade(
         raise ValueError(f"{to_width} not a multiple of {from_width}: tiers must tile")
     group_vars, value_vars = list(group_vars), list(value_vars)
     k = fdiv(F.col("ws"), to_width).alias("__k")
+    ln = F.col("we") - F.col("ws") + 1
     cols = [*group_vars, k, F.col("ws"), F.col("we"),
             F.col("xminstart").alias("__os_raw"), F.col("xmaxend").alias("__oe_raw"),
             "xduration"]
-    ln = F.col("we") - F.col("ws") + 1
     for v in value_vars:
-        # child coverage span for v: [ws+prefix, we-suffix]; all-gap child → NA item
+        # child coverage span for v: [ws+prefix, we-suffix]; all-gap child
+        # contributes nothing (its gap is covered by neighbors' gap terms)
         has_cov = F.col(f"prefix_{v}") < ln
         cols += [
             F.when(has_cov, F.col("ws") + F.col(f"prefix_{v}")).alias(f"__cs_{v}"),
             F.when(has_cov, F.col("we") - F.col(f"suffix_{v}")).alias(f"__ce_{v}"),
-            F.col(f"best_{v}").alias(f"__ib_{v}"),
-            (~has_cov).alias(f"__na_{v}"),
+            F.when(has_cov, F.col(f"best_{v}")).alias(f"__ib_{v}"),
             F.col(f"sum_wv_{v}").alias(f"__swv_{v}"),
             F.col(f"nobs_{v}").alias(f"__nob_{v}"),
         ]
     child = state.select(*cols)
-    # structural coverage span of the child (for xmin/xmax/os sort key):
-    # xminstart/xmaxend already absolute; xduration adds linearly.
-    # Reuse _state_agg by presenting the child's structural span as (os, oe)
-    # — but xduration must ADD, not recompute, so aggregate it separately.
-    null_fields = [f"n{i}" for i in range(len(value_vars))]
-    row = F.struct(
-        F.col("ws").alias("cs"), F.col("we").alias("ce"),
-        *[F.col(f"__cs_{v}").alias(f"cs{i}") for i, v in enumerate(value_vars)],
-        *[F.col(f"__ce_{v}").alias(f"ce{i}") for i, v in enumerate(value_vars)],
-        *[F.col(f"__ib_{v}").alias(f"ib{i}") for i, v in enumerate(value_vars)],
-        *[F.col(f"__na_{v}").alias(nf) for v, nf in zip(value_vars, null_fields)],
+
+    # same window+aggregate shape as tier-1's _state_agg: the gap run ending
+    # at each covered child = child coverage start − previous covered child's
+    # coverage end − 1 (parent_ws−1 seed folds the lead-in gap in); a child's
+    # internal best competes as-is. All codegen, no arrays.
+    pws = (F.col("__k") * to_width).cast("long")
+    wspec = (
+        Window.partitionBy(*group_vars, "__k")
+        .orderBy("ws")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    gap_cols = []
+    for v in value_vars:
+        prev_ce = F.max(F.col(f"__ce_{v}")).over(wspec)
+        run = F.col(f"__cs_{v}") - F.coalesce(prev_ce, pws - 1) - 1
+        gap_cols.append(
+            F.when(F.col(f"__cs_{v}").isNotNull(),
+                   F.greatest(run, F.col(f"__ib_{v}"))).alias(f"__gap_{v}")
+        )
+    child = child.select("*", *gap_cols)
+
     aggs = [
         F.sum("xduration").alias("xduration"),
         F.min("__os_raw").alias("xminstart"),
         F.max("__oe_raw").alias("xmaxend"),
-        F.sort_array(F.collect_list(row)).alias("__rows"),
     ]
     for v in value_vars:
-        aggs.append(F.sum(f"__swv_{v}").alias(f"sum_wv_{v}"))
-        aggs.append(F.sum(f"__nob_{v}").alias(f"nobs_{v}"))
+        aggs += [
+            F.sum(f"__swv_{v}").alias(f"sum_wv_{v}"),
+            F.sum(f"__nob_{v}").alias(f"nobs_{v}"),
+            F.min(f"__cs_{v}").alias(f"__first_{v}"),
+            F.max(f"__ce_{v}").alias(f"__last_{v}"),
+            F.max(f"__gap_{v}").alias(f"__maxg_{v}"),
+        ]
     agg = child.groupBy(*group_vars, "__k").agg(*aggs)
 
     ws = (F.col("__k") * to_width).cast("long")
     we = ((F.col("__k") + 1) * to_width - 1).cast("long")
+    pln = F.lit(to_width).cast("long")
     out = [*(F.col(g) for g in group_vars), ws.alias("ws"), we.alias("we"),
            "xduration", "xminstart", "xmaxend"]
-    for i, v in enumerate(value_vars):
-        items = _items_for(i, f"cs{i}", f"ce{i}")
-        st = _gapstate_fold(items, ws, we)
+    for v in value_vars:
+        suffix = F.when(F.col(f"__last_{v}").isNull(), pln).otherwise(we - F.col(f"__last_{v}"))
         out += [
             F.coalesce(F.col(f"sum_wv_{v}"), F.lit(0.0)).alias(f"sum_wv_{v}"),
             F.coalesce(F.col(f"nobs_{v}"), F.lit(0)).cast("long").alias(f"nobs_{v}"),
-            st["prefix"].alias(f"prefix_{v}"),
-            st["suffix"].alias(f"suffix_{v}"),
-            st["best"].alias(f"best_{v}"),
+            F.coalesce(F.col(f"__first_{v}") - ws, pln).alias(f"prefix_{v}"),
+            suffix.alias(f"suffix_{v}"),
+            F.greatest(F.coalesce(F.col(f"__maxg_{v}"), F.lit(0)), suffix).alias(f"best_{v}"),
         ]
     return agg.select(*out)
 

@@ -306,6 +306,8 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from intervalaverage_spark import queries_pipeline as qp
+
     return {
         "interval_average_events_daily": q_interval_average_events_daily,
         "tier_rollup_1d_events": q_tier_rollup_events(24, None),
@@ -317,11 +319,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "lang_stats_documents": q_lang_stats_documents,
         "topk_cosine_embeddings": q_topk_cosine_embeddings,
+        **qp.queries(),
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from intervalaverage_spark import queries_pipeline as qp
+
     return {
+        **qp.oracle_sql(),
         "interval_average_events_daily": _ia_oracle_sql(24, 50.0, sparse=False),
         "tier_rollup_1d_events": _ia_oracle_sql(24, 0.0, sparse=True),
         "tier_rollup_30d_events_cascade": _ia_oracle_sql(720, 0.0, sparse=True),

@@ -1,0 +1,330 @@
+"""Driver-contract queries for the training-data-pipeline operators
+(text analysis, fuzzy dedup, ANN, multimodal) over the documents /
+embeddings testdata tables, each with a DuckDB oracle.
+
+Cross-engine determinism rules (same as queries.py, plus):
+  * all hashes are md5 hex strings — identical in Spark and DuckDB;
+  * LSH hyperplanes are pure-integer-arithmetic literals inlined into BOTH
+    the Spark plan and the SQL text (functions/ann.py plane_weight);
+  * float expressions mirror operation ORDER exactly (left-to-right
+    folds), so IEEE doubles agree bit-for-bit before the 6-dp round.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.functions import ann
+from intervalaverage_spark.functions.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from intervalaverage_spark.functions.multimodal import decode_media
+from intervalaverage_spark.functions.textstats import (
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_RE,
+    text_stats,
+)
+
+_HEXD = "0123456789abcdef"
+
+#: shared SQL fragment: whitespace tokens per doc (empty-filtered)
+_TOKS_SQL = r"""
+toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+"""
+
+#: shared SQL fragment: distinct word 3-grams per doc (len>=3 → grams,
+#: else whole text), mirroring functions/dedup.py shingles(n=3)
+_SHINGLES_SQL = _TOKS_SQL + r""",
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3
+              THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                                  for i in range(1, len(tk) - 1)])
+              ELSE [array_to_string(tk, ' ')] END AS s
+  FROM toks
+)
+"""
+
+
+# -------------------------------------------------------------- text stats
+
+def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_stats(d.select("doc_id", "text")).drop("text")
+
+
+def _text_stats_sql() -> str:
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(tk, x -> list_contains([{arr}], lower(x)))) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return rf"""
+WITH {_TOKS_SQL},
+st AS (
+  SELECT doc_id, text, tk,
+         len(tk) AS n_tokens,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_bpe_tokens,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / length(text)
+              ELSE 0.0 END AS pr,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, x -> list_contains([{sw}], lower(x)))) / len(tk)
+              ELSE 0.0 END AS sr,
+         {", ".join(score_cols)},
+         CASE WHEN len(tk) >= 3
+              THEN list_min([md5(array_to_string(tk[i:i+2], ' '))
+                             for i in range(1, len(tk) - 1)])
+              ELSE md5(array_to_string(tk, ' ')) END AS fingerprint
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       floor(pr * 1000000.0) / 1000000.0 AS punct_ratio,
+       floor(sr * 1000000.0) / 1000000.0 AS stopword_ratio,
+       floor((least(length(text) / 500.0, 1.0) * 0.4
+              + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+              + least(sr * 5.0, 1.0) * 0.3) * 1000000.0) / 1000000.0 AS quality,
+       {case} AS lang_pred,
+       fingerprint
+FROM st
+"""
+
+
+# ------------------------------------------------------------ fuzzy dedup
+
+def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+NGRAM_JACCARD_SQL = rf"""
+WITH {_SHINGLES_SQL},
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_intersect(a.s, b.s))
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id1, id2, ROUND(j, 6) AS jaccard FROM p WHERE ROUND(j, 6) >= 0.5
+"""
+
+
+def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16, bands=4,
+                             threshold=0.5)
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(md5('{j}:' || g)) AS mh_{j}" for j in range(num_hashes)
+    )
+    band_rows = ", ".join(
+        "(%d, md5(%s))" % (
+            b, " || '|' || ".join(f"mh_{b * r + i}" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH {_SHINGLES_SQL},
+g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM g GROUP BY doc_id
+),
+bandkeys AS (
+  SELECT doc_id, b.* FROM sig,
+         LATERAL (SELECT * FROM (VALUES {band_rows}) t(band, bkey)) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.id1, c.id2,
+         len(list_intersect(x.s, y.s))
+           / (x.sz + y.sz - len(list_intersect(x.s, y.s))) AS j
+  FROM cand c
+  JOIN (SELECT doc_id, s, len(s) AS sz FROM sh) x ON x.doc_id = c.id1
+  JOIN (SELECT doc_id, s, len(s) AS sz FROM sh) y ON y.doc_id = c.id2
+)
+SELECT id1, id2, ROUND(j, 6) AS jaccard FROM v WHERE ROUND(j, 6) >= {threshold}
+"""
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    votes = []
+    for b in range(60):
+        nib, sh = divmod(b, 4)
+        mask = 1 << (3 - sh)
+        votes.append(
+            f"SUM(CASE WHEN (strpos('{_HEXD}', substr(hx, {nib + 1}, 1)) - 1) "
+            f"& {mask} > 0 THEN 1 ELSE -1 END) AS v{b}"
+        )
+    simbits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(60)
+    )
+    chunks = ", ".join(f"({c}, (sim >> {c * 15}) & 32767)" for c in range(4))
+    return rf"""
+WITH {_TOKS_SQL},
+h AS (SELECT doc_id, substr(md5(unnest(tk)), 1, 15) AS hx FROM toks),
+votes AS (
+  SELECT doc_id, {", ".join(votes)}
+  FROM h GROUP BY doc_id
+),
+simt AS (SELECT doc_id, {simbits} AS sim FROM votes),
+ck AS (
+  SELECT doc_id, sim, c.* FROM simt,
+         LATERAL (SELECT * FROM (VALUES {chunks}) t(chunk, ckey)) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         a.sim AS s1, b.sim AS s2
+  FROM ck a JOIN ck b
+    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, bit_count(xor(s1, s2))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+"""
+
+
+# ------------------------------------------------------- embeddings / ANN
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from intervalaverage_spark.functions.dedup import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, ROUND(c, 6) AS cosine FROM p WHERE ROUND(c, 6) >= 0.4
+"""
+
+ANN_BANDS, ANN_PLANES, ANN_DIMS = 2, 4, 64
+
+
+def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = e.orderBy("vec_id").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    return ann.srp_topk(
+        e.filter(F.col("vec_id") != qrow["vec_id"]), qv, "vec_id", "embedding",
+        k=10, bands=ANN_BANDS, planes=ANN_PLANES,
+    )
+
+
+def _dot_sql(vec_expr: str, weights: list[float]) -> str:
+    """Explicit left-to-right dot product — same fold order as
+    F.aggregate(zip_with(...)) and srp_bucket_py."""
+    terms = " + ".join(f"{vec_expr}[{d + 1}] * {w!r}" for d, w in enumerate(weights))
+    return f"(0.0 + {terms})"
+
+
+def _ann_srp_sql() -> str:
+    def bucket(vec_expr: str, band: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql(vec_expr, ann.plane_vector(band, p, ANN_DIMS))} >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(ANN_PLANES)
+        )
+        return f"({bits})"
+
+    conds = " OR ".join(
+        f"{bucket('v', b)} = {bucket('qv', b)}" for b in range(ANN_BANDS)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+c AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, q.qv
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(v, qv), 6) AS cosine
+FROM c WHERE {conds}
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# ----------------------------------------------------------- multimodal
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text bytes as an opaque media payload through the real
+    mapInPandas decode plumbing (deterministic fake codec). Only the
+    SQL-replicable feature columns are projected for the oracle compare;
+    checksum/feat are covered by pytest round-trip tests."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("id"),
+        F.lit("text/plain").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+    return decode_media(media).select("id", "kind", "n_bytes", "head")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS id, 'text/plain' AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       substr(lower(hex(encode(text))), 1, 16) AS head
+FROM documents
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_stats_documents": q_text_stats_documents,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "minhash_lsh_documents": q_minhash_lsh_documents,
+        "simhash_documents": q_simhash_documents,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_srp_topk_embeddings": q_ann_srp_topk,
+        "multimodal_decode_documents": q_multimodal_decode,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "text_stats_documents": _text_stats_sql(),
+        "ngram_jaccard_documents": NGRAM_JACCARD_SQL,
+        "minhash_lsh_documents": _minhash_lsh_sql(),
+        "simhash_documents": _simhash_sql(),
+        "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+        "ann_srp_topk_embeddings": _ann_srp_sql(),
+        "multimodal_decode_documents": MULTIMODAL_SQL,
+    }

@@ -30,12 +30,22 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Time-series shuffles here are compute-dense but hyper-compressible
+        # (urls repeat run-length-wise after explode): AQE's size-based
+        # coalescing collapses them to 1 reducer and serializes the heavy
+        # window+aggregate (measured 20× slowdown). Keep AQE (skew-join
+        # splitting) but size reducers by shuffle_partitions, not bytes.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # closed-interval math is pure integer arithmetic; ANSI overflow
         # checking is correct behavior, keep Spark 4 default (true).
+        # single-JVM local mode: do NOT oversize the heap. Measured on the
+        # 3-tier rollup at local[32]: 12g → 27s, 64g → 93s (G1 with a huge
+        # region count + 32 mutator threads thrashes; every phase 3-7×
+        # slower). 12g comfortably fits 32 concurrent sort/agg tasks at the
+        # bench scale; spills would show in the UI metrics if it didn't.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
     )

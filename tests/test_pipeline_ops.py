@@ -1,0 +1,181 @@
+"""Tests for the training-data-pipeline operators: fuzzy dedup (minhash
+LSH / simhash / n-gram jaccard), SRP-LSH ANN, text stats, multimodal
+plumbing. Oracle parity with DuckDB is covered by test_entry_contract; here
+we pin the algorithmic properties the oracles can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.functions import ann
+from intervalaverage_spark.functions.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_table,
+)
+from intervalaverage_spark.functions.multimodal import (
+    decode_media,
+    resize_stub,
+    size_buckets,
+)
+from intervalaverage_spark.functions.textstats import text_stats
+from tests.conftest import rows
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+    (2, "the quick brown fox jumps over the lazy dog again and again ok"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again ok"),  # near dup of 1
+    (4, "completely different words nothing shared here at all frankly my dear"),
+    (5, "der die und das ist hier ein test text von der sache"),
+    (6, "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    out = rows(exact_dedup(docs), "canonical_id")
+    groups = {r["canonical_id"]: r["n_docs"] for r in out}
+    assert groups[1] == 2  # docs 1 and 2 identical
+    assert sum(groups.values()) == len(DOCS)
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    out = rows(ngram_jaccard_pairs(docs, threshold=0.3), "id1", "id2")
+    pairs = {(r["id1"], r["id2"]): r["jaccard"] for r in out}
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert all(i1 < i2 for i1, i2 in pairs)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_subset_of_exact_with_full_precision(docs):
+    """LSH output must be a SUBSET of the exact-jaccard pairs at the same
+    threshold (precision 1.0 — candidates are exact-verified), and must
+    contain every EXACT duplicate (J=1 pairs collide in all bands)."""
+    exact = {(r["id1"], r["id2"]): r["jaccard"]
+             for r in rows(ngram_jaccard_pairs(docs, threshold=0.5), "id1", "id2")}
+    lsh = {(r["id1"], r["id2"]): r["jaccard"]
+           for r in rows(minhash_lsh_pairs(docs, threshold=0.5), "id1", "id2")}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert (1, 2) in lsh  # exact dup always recalled
+
+
+def test_simhash_exact_dup_hamming_zero(docs):
+    sims = {r["id"]: r["sim"] for r in rows(simhash_table(docs), "id")}
+    assert sims[1] == sims[2]
+    assert 0 <= sims[1] < (1 << 60)
+    out = {(r["id1"], r["id2"]): r["hamming"]
+           for r in rows(simhash_pairs(docs, max_hamming=3), "id1", "id2")}
+    assert out[(1, 2)] == 0
+    assert all(h <= 3 for h in out.values())
+
+
+def test_simhash_recall_guarantee(spark):
+    """Any pair within hamming 3 MUST be found (pigeonhole over 4 chunks).
+    Construct docs whose simhashes differ in ≤3 bits by brute-force search
+    over small word tweaks, then assert the pair is reported."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    cands = [(1, base)] + [(i + 2, base + f" w{i}") for i in range(12)]
+    df = spark.createDataFrame(cands, ["doc_id", "text"])
+    sims = {r["id"]: r["sim"] for r in rows(simhash_table(df), "id")}
+    close = [
+        (a, b)
+        for a in sims for b in sims if a < b
+        and bin(sims[a] ^ sims[b]).count("1") <= 3
+    ]
+    found = {(r["id1"], r["id2"]) for r in rows(simhash_pairs(df, max_hamming=3))}
+    for pair in close:
+        assert pair in found, f"missed pair {pair}"
+
+
+def test_embedding_neardup(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = rows(embedding_neardup_pairs(df, threshold=0.9), "id1", "id2")
+    assert [(r["id1"], r["id2"]) for r in out] == [(1, 2)]
+    assert out[0]["cosine"] > 0.99
+
+
+def test_srp_bucket_python_twin_matches_spark(spark):
+    vecs = [(i, [((i * 37 + d * 11) % 17 - 8) / 8.0 for d in range(16)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = rows(
+        ann.with_srp_buckets(df, "embedding", 16, bands=2, planes=8), "vec_id"
+    )
+    for r in got:
+        v = [float(x) for x in r["embedding"]]
+        assert r["srp_b0"] == ann.srp_bucket_py(v, 0, 8)
+        assert r["srp_b1"] == ann.srp_bucket_py(v, 1, 8)
+
+
+def test_srp_topk_subset_of_brute(spark):
+    vecs = [(i, [((i * 37 + d * 11) % 17 - 8) / 8.0 for d in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = vecs[0][1]
+    brute = {r["vec_id"]: r["cosine"] for r in rows(ann.brute_topk(df, q, "vec_id", "embedding", k=50))}
+    approx = rows(ann.srp_topk(df, q, "vec_id", "embedding", k=10, bands=2, planes=4))
+    assert 0 < len(approx) <= 10
+    for r in approx:  # cosines must be the EXACT ones (rerank is exact)
+        assert r["cosine"] == brute[r["vec_id"]]
+    # the query vector itself shares all its own buckets → always recalled
+    assert approx[0]["vec_id"] == 0 and approx[0]["cosine"] == 1.0
+
+
+def test_text_stats_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat is on the mat!"), (2, ""), (3, "der die und das ist")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in rows(text_stats(df), "doc_id")}
+    import math
+
+    r1 = out[1]
+    assert r1["n_tokens"] == 6
+    assert r1["n_bpe_tokens"] == 7  # 'mat' + '!' split
+    # float columns are TRUNCATED to 6dp (cross-engine determinism)
+    assert r1["punct_ratio"] == math.floor(1 / 22 * 1e6) / 1e6
+    assert r1["stopword_ratio"] == 0.5  # the, is, the → 3/6
+    assert r1["lang_pred"] == "en"
+    assert out[3]["lang_pred"] == "de"
+    assert out[2]["n_tokens"] == 0 and out[2]["lang_pred"] == "und"
+    # 0.3·1 truncates to 0.299999 (0.3 is below 0.3 in binary) — exactly
+    # the boundary class trunc6 makes engine-consistent
+    assert out[2]["quality"] == math.floor(0.3 * 1e6) / 1e6
+
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "image/fake", bytearray(b"\x89PNG1234abcdef"), {"w": "4"}),
+         (2, "audio/fake", bytearray(b""), {})],
+        "id long, kind string, payload binary, meta map<string,string>",
+    )
+    df = size_buckets(df)
+    assert "size_bucket" in df.columns
+    out = {r["id"]: r for r in rows(decode_media(df), "id")}
+    b = b"\x89PNG1234abcdef"
+    c = 0
+    for by in b:
+        c = (c * 31 + by) % (1 << 31)
+    assert out[1]["n_bytes"] == len(b)
+    assert out[1]["checksum"] == c
+    assert out[1]["head"] == b[:8].hex()
+    assert len(out[1]["feat"]) == 8
+    assert out[2]["n_bytes"] == 0 and out[2]["checksum"] == 0
+    with pytest.raises(NotImplementedError):
+        resize_stub(df, 64, 64)
+    with pytest.raises(NotImplementedError):
+        decode_media(df, fake=None)
