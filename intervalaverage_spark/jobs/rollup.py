@@ -41,10 +41,23 @@ def run_rollup(
     required_percentage: float = 0.0,
     resume: bool = True,
     unit: int = 1,
+    strategy: str = "direct",
 ) -> dict:
     """Returns a metrics report. With ``out_root``, states are written
     partitioned by bucket with a lineage manifest; a re-run recomputes only
-    buckets whose input fingerprint changed."""
+    buckets whose input fingerprint changed.
+
+    ``strategy``:
+      * ``"direct"`` (default) — every tier from the raw interval table.
+        At web-crawl visit density the materialized hour-grid state is
+        ~170× denser than raw (each ~9-day validity interval covers ~220
+        hour windows), so cascading 1d from the 1h STATE shuffles two
+        orders of magnitude more rows than re-aggregating raw (measured
+        180 s vs 4.7 s at 60k pages / 8 cores).
+      * ``"cascade"`` — each tier merged from the previous tier's state
+        (rollup_cascade). Correct and REQUIRED when raw has aged out of
+        retention and only a finer tier remains; exactness of
+        cascade == direct == interval_average is property-tested."""
     t_start = time.time()
     report: dict = {"tiers": {}, "buckets": {"n": n_buckets}}
 
@@ -75,11 +88,13 @@ def run_rollup(
         if w1 % w0:
             raise ValueError(f"tier widths must tile: {w0} → {w1}")
 
+    if strategy not in ("direct", "cascade"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     prev_state: DataFrame | None = None
     total_points = 0
     for tier, width in zip(tiers, widths):
         t0 = time.time()
-        if prev_state is None:
+        if prev_state is None or strategy == "direct":
             state = rollup_from_raw(x, width, VALUE_VARS, [*GROUP_VARS, "p"])
         else:
             state = rollup_cascade(prev_state, prev_width, width, VALUE_VARS, [*GROUP_VARS, "p"])

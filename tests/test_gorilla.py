@@ -55,3 +55,18 @@ def test_spark_segments_roundtrip(spark):
     assert orig.exceptAll(back).count() == 0
     # compression: blobs smaller than raw 16B/pt
     assert sp["blob"].map(len).sum() < 16 * len(rows)
+
+
+def test_coarse_and_per_segment_paths_identical(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for u in ("a", "b", "c"):
+        t = np.cumsum(rng.integers(60, 7200, 200)).astype(int)
+        v = rng.normal(0, 5, 200)
+        rows += [(u, int(tt), float(vv)) for tt, vv in zip(t, v)]
+    pts = spark.createDataFrame(rows, "url string, t long, v double")
+    per_seg = encode_segments(pts, ["url"], "t", "v", 86400, coarse_partitions=None)
+    coarse = encode_segments(pts, ["url"], "t", "v", 86400, coarse_partitions=7)
+    a = sorted(map(str, per_seg.collect()))
+    b = sorted(map(str, coarse.collect()))
+    assert a == b
