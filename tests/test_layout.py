@@ -1,0 +1,65 @@
+"""Physical layout: (day × url-hash) partitioned tier tables must
+partition-prune — the scan's plan carries PartitionFilters and reads only
+the matching directories."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.operators.tiers import TIER_WIDTHS, rollup_from_raw
+from intervalaverage_spark.plans.layout import DAY, read_tier, write_tier
+from intervalaverage_spark.sources.webts import observation_intervals, synth_webpages
+
+
+@pytest.fixture(scope="module")
+def tier_path(spark):
+    tmp = tempfile.mkdtemp(prefix="ia_layout_")
+    pages = synth_webpages(spark, n_pages=60, n_domains=4)
+    x = observation_intervals(pages, unit=1)
+    st = rollup_from_raw(x, TIER_WIDTHS["1h"], ["text_bytes"], ["url", "lang"])
+    write_tier(st, tmp, n_buckets=4)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_roundtrip_complete(spark, tier_path):
+    full = read_tier(spark, tier_path)
+    assert full.count() > 0
+    assert {"d", "p"} <= set(full.columns)
+    # d really is the window's day
+    assert full.filter(F.col("d") != F.floor(F.col("ws") / DAY)).count() == 0
+
+
+def test_time_range_prunes_partitions(spark, tier_path):
+    full = read_tier(spark, tier_path)
+    lo = full.agg(F.min("ws")).first()[0]
+    pruned = read_tier(spark, tier_path, t_lo=lo, t_hi=lo + 3 * DAY)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "isnotnull(d" in plan.replace("#", "(")
+    n_days_total = full.select("d").distinct().count()
+    n_days_pruned = pruned.select("d").distinct().count()
+    assert 0 < n_days_pruned <= 4 < n_days_total
+    # pruned scan equals a post-filter of the full scan
+    expected = full.filter((F.col("d") >= lo // DAY) & (F.col("d") <= (lo + 3 * DAY) // DAY))
+    assert pruned.exceptAll(expected).count() == 0
+    assert expected.exceptAll(pruned).count() == 0
+
+
+def test_bucket_prunes(spark, tier_path):
+    b0 = read_tier(spark, tier_path, buckets=[0])
+    assert b0.select("p").distinct().collect() == [b0.select("p").first()]
+    assert b0.count() > 0
+
+
+def test_dynamic_overwrite_is_partition_scoped(spark, tier_path):
+    """Rewriting a single bucket's slice must not clobber other partitions."""
+    full_before = read_tier(spark, tier_path).count()
+    one = read_tier(spark, tier_path, buckets=[1])
+    n_one = one.count()
+    write_tier(one.drop("d"), tier_path, n_buckets=4)  # rewrite bucket 1 only
+    assert read_tier(spark, tier_path).count() == full_before
+    assert read_tier(spark, tier_path, buckets=[1]).count() == n_one
