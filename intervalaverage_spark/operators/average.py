@@ -26,11 +26,23 @@ Semantics (all intervals closed, length = end-start+1):
     NULL, maxgap = yduration   (src/code.cpp:32-50)
 
 Scale notes: everything except maxgap is a plain shuffled partial-aggregate
-(map-side combine, whole-stage codegen). maxgap is order-dependent, so it
-runs as a JVM-side higher-order ``aggregate`` over a per-y sorted
-``collect_list`` — no Python boundary, no second shuffle (it shares the
-groupBy). Matched-rows-per-y is bounded by design in the tier cascade
-(≤ ~32 child points per rollup window), so the collected arrays stay small.
+(map-side combine, whole-stage codegen). maxgap uses the same window-
+function gap-state formulation as the tier engine (operators/tiers.py
+``_state_agg``): per covered row, the uncovered run ENDING at that row is
+``os − previous covered oe − 1`` via ``max(...) over (rows unbounded
+preceding, -1)``, seeded at ``ys − 1`` so the lead-in counts; the final
+maxgap is ``greatest(max(run), ye − last covered oe)``. NA-value rows are
+simply "not covered", which merges NA stretches with adjacent structural
+gaps for free (src/code.cpp:145-156 semantics). Pure whole-stage codegen —
+no collect_list, no higher-order fold, no per-y arrays — and the window's
+partitioning is the exact (groups, ys, ye) exchange the groupBy reuses, so
+it costs zero extra shuffles.
+
+Exactness: when a value column is DecimalType, Σw·v accumulates in
+DECIMAL (weights are exact integers) — order-independent and bit-identical
+across engines/partitionings — and the mean is taken as
+``double(Σw·v) / nobs``. Used by the driver-contract queries for
+cross-engine value-hash stability; float columns keep plain double sums.
 """
 
 from __future__ import annotations
@@ -40,6 +52,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from intervalaverage_spark.plans.rangejoin import range_join
 from intervalaverage_spark.validation import check_intervals, check_schema
@@ -71,29 +84,31 @@ def _prep(
     return df.select(*keep, s.alias(s_alias), e.alias(e_alias))
 
 
-def _maxgap_expr(rows: Column, null_field: str, ys: Column, ye: Column) -> Column:
-    """src/code.cpp:91-167 as a higher-order fold over overlap rows sorted
-    by overlap start. Accumulator (mx, gap, last) = (max gap so far,
-    running uncovered count, last observed time)."""
-    zero = F.lit(0).cast("long")
-    init = F.struct(zero.alias("mx"), zero.alias("gap"), (ys - 1).alias("last"))
+def _wv_term(w: Column, v: str, dt: T.DataType) -> Column:
+    """The per-pair weighted-value term ``w·v``.
 
-    def merge(acc: Column, r: Column) -> Column:
-        g1 = acc["gap"] + r["s"] - acc["last"] - 1          # structural gap
-        g2 = g1 + (r["e"] - r["s"] + 1)                      # + NA stretch
-        is_na = r[null_field]
-        return F.struct(
-            F.when(is_na, F.greatest(acc["mx"], g2))
-            .otherwise(F.greatest(acc["mx"], g1))
-            .alias("mx"),
-            F.when(is_na, g2).otherwise(zero).alias("gap"),
-            r["e"].alias("last"),                            # unconditional
-        )
+    DecimalType values accumulate EXACTLY: weights are integers, so
+    ``Σ decimal(w·v)`` is order-free and engine-portable (the determinism
+    contract the driver-compare queries rely on). Precision must leave
+    room for a 10-digit weight: p ≤ 27 (product is decimal(38, s), exact;
+    ANSI mode turns a genuine Σ overflow into an error, not silence)."""
+    if isinstance(dt, T.DecimalType):
+        if dt.precision > 27:
+            raise ValueError(
+                f"decimal value columns need precision <= 27 (got {dt}); "
+                "rescale so w*v fits decimal(38, s) exactly"
+            )
+        return (F.col(v) * w.cast("decimal(10,0)")).cast(f"decimal(38,{dt.scale})")
+    return w * F.col(v)
 
-    def finish(acc: Column) -> Column:
-        return F.greatest(acc["mx"], acc["gap"] + ye - acc["last"])  # tail, no -1
 
-    return F.aggregate(rows, init, merge, finish)
+def _mean_of(swv: Column, nobs: Column, dt: T.DataType) -> Column:
+    """Σw·v / Σw as a double. Decimal sums are exact, so the quotient is a
+    deterministic function of the data alone (cast-to-double then one IEEE
+    division), independent of partitioning and engine."""
+    if isinstance(dt, T.DecimalType):
+        swv = swv.cast("double")
+    return swv / nobs
 
 
 def interval_average(
@@ -164,32 +179,50 @@ def interval_average(
     os_ = F.greatest(F.col("__ia_xs"), F.col("__ia_ys"))
     oe_ = F.least(F.col("__ia_xe"), F.col("__ia_ye"))
     w = oe_ - os_ + 1
+    gkeys = [*group_vars, "__ia_ys", "__ia_ye"]
 
-    null_fields = [f"n{i}" for i in range(len(value_vars))]
-    row_struct = F.struct(
-        os_.alias("s"),
-        oe_.alias("e"),
-        *[F.col(v).isNull().alias(nf) for v, nf in zip(value_vars, null_fields)],
+    # maxgap gap-state (src/code.cpp:91-167 semantics, tiers.py:66-99
+    # formulation): for each COVERED pair row, the uncovered run ending at
+    # it = os − (max covered oe among earlier rows) − 1, seeded ys−1 so the
+    # lead-in counts. x rows are non-overlapping, so ordering by xs orders
+    # the clipped overlaps too. Shares the groupBy's exchange.
+    wspec = (
+        Window.partitionBy(*gkeys)
+        .orderBy("__ia_xs")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    gap_cols = []
+    for v in value_vars:
+        nn = F.col(v).isNotNull()
+        prev_end = F.max(F.when(nn, oe_)).over(wspec)
+        gap_cols.append(
+            F.when(nn, os_ - F.coalesce(prev_end, F.col("__ia_ys") - 1) - 1).alias(
+                f"__ia_gap_{v}"
+            )
+        )
+    pairs = pairs.select("*", *gap_cols)
 
     aggs = [
         F.sum(w).alias("__ia_xdur"),
         F.min(os_).alias("__ia_xmin"),
         F.max(oe_).alias("__ia_xmax"),
-        F.sort_array(F.collect_list(row_struct)).alias("__ia_rows"),
     ]
-    for v, nf in zip(value_vars, null_fields):
+    for v in value_vars:
         nn = F.col(v).isNotNull()
-        aggs.append(F.sum(F.when(nn, w * F.col(v))).alias(f"__ia_swv_{v}"))
+        aggs.append(F.sum(F.when(nn, _wv_term(w, v, x.schema[v].dataType))).alias(f"__ia_swv_{v}"))
         aggs.append(F.sum(F.when(nn, w)).alias(f"__ia_nobs_{v}"))
+        aggs.append(F.max(F.when(nn, oe_)).alias(f"__ia_last_{v}"))
+        aggs.append(F.max(F.col(f"__ia_gap_{v}")).alias(f"__ia_maxg_{v}"))
 
-    gkeys = [*group_vars, "__ia_ys", "__ia_ye"]
     agg = pairs.groupBy(*gkeys).agg(*aggs)
+    # tail run (ye − last covered oe, no −1: src/code.cpp:162-167) merged
+    # with the best interior run; all-NA/no-match groups stay NULL and the
+    # output coalesces them to yduration.
     mg = [
-        _maxgap_expr(F.col("__ia_rows"), nf, F.col("__ia_ys"), F.col("__ia_ye")).alias(
-            f"__ia_mg_{v}"
-        )
-        for v, nf in zip(value_vars, null_fields)
+        F.greatest(
+            F.col(f"__ia_maxg_{v}"), F.col("__ia_ye") - F.col(f"__ia_last_{v}")
+        ).alias(f"__ia_mg_{v}")
+        for v in value_vars
     ]
     agg = agg.select(*gkeys, "__ia_xdur", "__ia_xmin", "__ia_xmax",
                      *[c for v in value_vars for c in (f"__ia_swv_{v}", f"__ia_nobs_{v}")],
@@ -225,7 +258,9 @@ def interval_average(
         ]
     for v in value_vars:
         nobs = F.coalesce(F.col(f"__ia_nobs_{v}"), F.lit(0)).cast("long")
-        avg = F.col(f"__ia_swv_{v}") / F.col(f"__ia_nobs_{v}")
+        avg = _mean_of(
+            F.col(f"__ia_swv_{v}"), F.col(f"__ia_nobs_{v}"), x.schema[v].dataType
+        )
         masked = F.when(
             (nobs > 0)
             & (F.lit(100.0) * nobs / ydur >= F.lit(float(required_percentage))),

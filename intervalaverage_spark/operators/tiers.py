@@ -42,8 +42,20 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
+from intervalaverage_spark.operators.average import _mean_of, _wv_term
 from intervalaverage_spark.operators.grid import tier_grid
 from intervalaverage_spark.plans.rangejoin import fdiv
+
+
+def _zero_like(dt: T.DataType) -> Column:
+    """Typed zero for Σw·v state: keeps coalesce from silently coercing an
+    exact decimal sum back to double (DecimalType = the exact-arithmetic
+    path, see operators/average.py _wv_term)."""
+    if isinstance(dt, T.DecimalType):
+        return F.lit(0).cast(f"decimal(38,{dt.scale})")
+    return F.lit(0.0)
 
 #: tier name → window width in integer time units (seconds)
 TIER_WIDTHS: dict[str, int] = {"1h": 3600, "1d": 86400, "30d": 30 * 86400}
@@ -88,6 +100,7 @@ def _state_agg(
         F.min(os_).alias("xminstart"),
         F.max(oe_).alias("xmaxend"),
     ]
+    swv_types = {v: exploded.schema[f"__swv_{v}"].dataType for v in value_vars}
     for v in value_vars:
         nn = ~F.col(f"__na_{v}")
         aggs += [
@@ -107,7 +120,7 @@ def _state_agg(
     for v in value_vars:
         suffix = F.when(F.col(f"__last_{v}").isNull(), ln).otherwise(we - F.col(f"__last_{v}"))
         out += [
-            F.coalesce(F.col(f"sum_wv_{v}"), F.lit(0.0)).alias(f"sum_wv_{v}"),
+            F.coalesce(F.col(f"sum_wv_{v}"), _zero_like(swv_types[v])).alias(f"sum_wv_{v}"),
             F.coalesce(F.col(f"nobs_{v}"), F.lit(0)).cast("long").alias(f"nobs_{v}"),
             F.coalesce(F.col(f"__first_{v}") - ws, ln).alias(f"prefix_{v}"),
             suffix.alias(f"suffix_{v}"),
@@ -155,7 +168,7 @@ def rollup_from_raw(
     for v in value_vars:
         wt = oe_ - os_ + 1
         cols += [
-            (wt * F.col(v)).alias(f"__swv_{v}"),
+            _wv_term(wt, v, x.schema[v].dataType).alias(f"__swv_{v}"),
             wt.alias(f"__nob_{v}"),
             F.col(v).isNull().alias(f"__na_{v}"),
         ]
@@ -175,7 +188,8 @@ def rollup_from_raw(
     for v in value_vars:
         na = F.col(v).isNull()
         icols += [
-            F.when(na, F.lit(0.0)).otherwise(ln * F.col(v)).alias(f"sum_wv_{v}"),
+            F.when(na, _zero_like(x.schema[v].dataType))
+            .otherwise(_wv_term(ln, v, x.schema[v].dataType)).alias(f"sum_wv_{v}"),
             F.when(na, zero).otherwise(ln).alias(f"nobs_{v}"),
             F.when(na, ln).otherwise(zero).alias(f"prefix_{v}"),
             F.when(na, ln).otherwise(zero).alias(f"suffix_{v}"),
@@ -258,7 +272,9 @@ def rollup_cascade(
     for v in value_vars:
         suffix = F.when(F.col(f"__last_{v}").isNull(), pln).otherwise(we - F.col(f"__last_{v}"))
         out += [
-            F.coalesce(F.col(f"sum_wv_{v}"), F.lit(0.0)).alias(f"sum_wv_{v}"),
+            F.coalesce(
+                F.col(f"sum_wv_{v}"), _zero_like(state.schema[f"sum_wv_{v}"].dataType)
+            ).alias(f"sum_wv_{v}"),
             F.coalesce(F.col(f"nobs_{v}"), F.lit(0)).cast("long").alias(f"nobs_{v}"),
             F.coalesce(F.col(f"__first_{v}") - ws, pln).alias(f"prefix_{v}"),
             suffix.alias(f"suffix_{v}"),
@@ -301,7 +317,10 @@ def finalize(
     out += [F.col("ws").alias(s_out), F.col("we").alias(e_out)]
     for v in value_vars:
         nobs = F.coalesce(F.col(f"nobs_{v}"), F.lit(0))
-        avg = F.col(f"sum_wv_{v}") / F.col(f"nobs_{v}")
+        avg = _mean_of(
+            F.col(f"sum_wv_{v}"), F.col(f"nobs_{v}"),
+            state.schema[f"sum_wv_{v}"].dataType,
+        )
         out.append(
             F.when(
                 (nobs > 0)

@@ -75,10 +75,17 @@ def _events_grid(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
 def _ia_oracle_sql(width: int, rp: float, sparse: bool) -> str:
     """interval_average / tier-rollup oracle: range join + weighted sums +
     gaps-and-islands maxgap on the unit grid. ``sparse`` keeps only covered
-    windows (tier-state semantics); else dense grid with gap-fill rows."""
+    windows (tier-state semantics); else dense grid with gap-fill rows.
+
+    Σw·v accumulates in DECIMAL(38,12) — weights are exact integers, so the
+    sum is exact, order-free and engine-independent; the compared ``value``
+    is then one deterministic decimal→double cast + one IEEE division.
+    Mirrors the Spark side exactly (operators/average.py _wv_term/_mean_of
+    on the DECIMAL(26,12)-cast value column)."""
     value = (
         f"CASE WHEN COALESCE(a.nobs, 0) > 0 AND "
-        f"100.0 * a.nobs / (y.ye - y.ys + 1) >= {rp} THEN a.swv / a.nobs END"
+        f"100.0 * a.nobs / (y.ye - y.ys + 1) >= {rp} "
+        f"THEN CAST(a.swv AS DOUBLE) / a.nobs END"
     )
     src = "JOIN" if sparse else "LEFT JOIN"
     return f"""
@@ -95,10 +102,15 @@ pairs AS (
   FROM y JOIN x ON x.user_id = y.user_id AND x.xe >= y.ys AND x.xs <= y.ye
 ),
 agg AS (
+  -- integer sums cast back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT,
+  -- which pandas renders as float64 and breaks the driver's value compare
   SELECT user_id, ys, ye,
-         SUM(oe - os + 1) AS xduration, MIN(os) AS xminstart, MAX(oe) AS xmaxend,
-         SUM(CASE WHEN v IS NOT NULL THEN (oe - os + 1) * v END) AS swv,
-         SUM(CASE WHEN v IS NOT NULL THEN oe - os + 1 END) AS nobs
+         CAST(SUM(oe - os + 1) AS BIGINT) AS xduration,
+         MIN(os) AS xminstart, MAX(oe) AS xmaxend,
+         SUM(CASE WHEN v IS NOT NULL
+                  THEN CAST(v AS DECIMAL(26,12)) * CAST(oe - os + 1 AS DECIMAL(10,0))
+             END) AS swv,
+         CAST(SUM(CASE WHEN v IS NOT NULL THEN oe - os + 1 END) AS BIGINT) AS nobs
   FROM pairs GROUP BY 1, 2, 3
 ),
 grid AS (SELECT user_id, ys, ye, UNNEST(generate_series(ys, ye)) AS t FROM y),
@@ -123,7 +135,8 @@ SELECT y.user_id, y.ys AS start, y.ye AS "end",
        y.ye - y.ys + 1 AS yduration,
        COALESCE(a.xduration, 0) AS xduration,
        COALESCE(a.nobs, 0) AS nobs_value,
-       a.xminstart, a.xmaxend,
+       CAST(a.xminstart AS DOUBLE) AS xminstart,
+       CAST(a.xmaxend AS DOUBLE) AS xmaxend,
        COALESCE(g.maxgap, 0) AS maxgap_value
 FROM y {src} agg a ON a.user_id = y.user_id AND a.ys = y.ys AND a.ye = y.ye
 LEFT JOIN gaps g ON g.user_id = y.user_id AND g.ys = y.ys AND g.ye = y.ye
@@ -131,15 +144,28 @@ LEFT JOIN gaps g ON g.user_id = y.user_id AND g.ys = y.ys AND g.ye = y.ye
 
 
 def _points_select(df: DataFrame) -> DataFrame:
+    # xminstart/xmaxend as DOUBLE: they are NULL for unmatched-y rows, and a
+    # nullable integer column turns into float64 in the oracle's pandas
+    # frame — casting BOTH engines to double keeps the compared dtype (and
+    # hash) identical; values are way below 2^53, so the cast is exact.
     return df.select(
         "user_id", "start", "end",
         F.round(F.col("value"), 6).alias("value"),
-        "yduration", "xduration", "nobs_value", "xminstart", "xmaxend", "maxgap_value",
+        "yduration", "xduration", "nobs_value",
+        F.col("xminstart").cast("double").alias("xminstart"),
+        F.col("xmaxend").cast("double").alias("xmaxend"),
+        "maxgap_value",
     )
 
 
+#: exact-arithmetic cast for the compared weighted mean (see _ia_oracle_sql)
+_VALUE_DEC = "decimal(26,12)"
+
+
 def q_interval_average_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    x = events_x(spark, sf_dir).withColumnRenamed("v", "value")
+    x = events_x(spark, sf_dir).withColumnRenamed("v", "value").withColumn(
+        "value", F.col("value").cast(_VALUE_DEC)
+    )
     y = _events_grid(spark, sf_dir, 24)
     # bucketed range join: 1500 users is low-cardinality for SMJ-with-
     # range-postfilter (per-user near-cartesian); weekly buckets measured
@@ -154,7 +180,9 @@ def q_interval_average_events_daily(spark: SparkSession, sf_dir: str) -> DataFra
 
 def q_tier_rollup_events(width: int, cascade_from: int | None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        x = events_x(spark, sf_dir).withColumnRenamed("v", "value")
+        x = events_x(spark, sf_dir).withColumnRenamed("v", "value").withColumn(
+            "value", F.col("value").cast(_VALUE_DEC)
+        )
         if cascade_from:
             st = rollup_from_raw(x, cascade_from, ["value"], ["user_id"])
             st = rollup_cascade(st, cascade_from, width, ["value"], ["user_id"])
