@@ -38,7 +38,6 @@ def run_rollup(
     out_root: str | None = None,
     n_buckets: int = 32,
     tiers: Sequence[str] = ("1h", "1d", "30d"),
-    required_percentage: float = 0.0,
     resume: bool = True,
     unit: int = 1,
     strategy: str = "direct",
@@ -65,13 +64,23 @@ def run_rollup(
     x = ckpt.with_bucket(x, "url", n_buckets)
 
     todo = None  # None → everything
+    vanished: list[int] = []
     manifest_rows: list[DataFrame] = []
     if out_root and resume:
         fps = ckpt.fingerprint_partitions(x).cache()
         manifest = ckpt.read_manifest(spark, out_root)
         todo, skipped = ckpt.plan_resume(fps, manifest, tier="input")
+        # buckets whose input disappeared entirely emit no fingerprint row:
+        # clear their stale tier partitions + manifest entries
+        vanished = ckpt.vanished_buckets(fps, manifest, tier="input")
+        if vanished:
+            ckpt.delete_partition_dirs(
+                spark, out_root,
+                [f"tier={t}/p={b}" for t in tiers for b in vanished],
+            )
         report["buckets"]["todo"] = len(todo)
         report["buckets"]["skipped"] = len(skipped)
+        report["buckets"]["vanished"] = len(vanished)
         new_manifest = fps.select(
             F.lit("input").alias("tier"), "p",
             F.col("fingerprint").alias("input_fingerprint"),
@@ -117,6 +126,8 @@ def run_rollup(
             (old["tier"] == F.col("t2")) & (old["p"] == F.col("p2")),
             "left_anti",
         )
+        if vanished:
+            keep_old = keep_old.filter(~F.col("p").isin([int(b) for b in vanished]))
         ckpt.write_manifest(keep_old.unionByName(merged), out_root)
 
     if prev_state is not None:

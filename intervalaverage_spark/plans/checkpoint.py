@@ -7,11 +7,15 @@ pipeline carries ``p = pmod(xxhash64(url), n_buckets)`` and is written
 
     p, input_fingerprint, input_rows, output_rows, out_checksum, tier
 
-The input fingerprint is an order-insensitive pure-JVM aggregate
-(bit_xor of per-row xxhash64 + count) — no overflow (ANSI-safe), no
-Python. On re-run, buckets whose fingerprint matches the manifest are
-SKIPPED; only changed/new buckets recompute, and dynamic partition
-overwrite rewrites exactly those directories. This replaces Structured
+The input fingerprint is an order-insensitive pure-JVM aggregate: the SUM
+of per-row xxhash64 reduced mod the largest 63-bit prime (DECIMAL
+accumulation — ANSI-safe, no overflow, no Python). SUM, not bit_xor: XOR
+cancels any pairwise-duplicated change (two identical new rows would
+leave the fingerprint untouched), while a modular sum is duplicate-
+sensitive. plan_resume additionally compares the recorded row count as a
+second independent witness. On re-run, buckets whose (fingerprint, rows)
+match the manifest are SKIPPED; only changed/new buckets recompute, and
+dynamic partition overwrite rewrites exactly those directories. This replaces Structured
 Streaming checkpoints for the batch-incremental tier cascade (SURVEY §2.3:
 watermarks are out of scope; resume-from-checkpoint replaces them).
 """
@@ -34,11 +38,18 @@ def with_bucket(df: DataFrame, key_col: str, n_buckets: int, out: str = "p") -> 
     return df.withColumn(out, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
 
 
+#: largest prime below 2^63 — fingerprint modulus (result fits LongType)
+_FP_MOD = 9223372036854775783
+
+
 def fingerprint_partitions(df: DataFrame, part_col: str = "p") -> DataFrame:
-    """One row per bucket: (p, fingerprint, rows). Order-insensitive."""
+    """One row per bucket: (p, fingerprint, rows). Order-insensitive AND
+    duplicate-sensitive (modular sum of row hashes; see module docstring)."""
     cols = [c for c in df.columns if c != part_col]
+    h = F.xxhash64(*cols).cast("decimal(38,0)")
     return df.groupBy(part_col).agg(
-        F.bit_xor(F.xxhash64(*cols)).alias("fingerprint"),
+        F.pmod(F.sum(h), F.lit(_FP_MOD).cast("decimal(38,0)"))
+        .cast("long").alias("fingerprint"),
         F.count(F.lit(1)).alias("rows"),
     )
 
@@ -66,19 +77,49 @@ def plan_resume(
     manifest: DataFrame,
     tier: str,
 ) -> tuple[list[int], list[int]]:
-    """Compare bucket fingerprints with the manifest.
+    """Compare bucket (fingerprint, row count) with the manifest.
 
+    Both recorded witnesses must match for a skip — the row count catches
+    any residual hash-collision class the modular sum might admit.
     Returns (todo_buckets, skipped_buckets) — driver-side lists; bucket
     counts are small (≤ thousands) by construction, so this collect is a
     metadata operation, not a data read."""
     old = manifest.filter(F.col("tier") == tier).select(
-        F.col("p").alias("mp"), F.col("input_fingerprint").alias("mfp")
+        F.col("p").alias("mp"),
+        F.col("input_fingerprint").alias("mfp"),
+        F.col("input_rows").alias("mrows"),
     )
     j = input_fps.join(old, input_fps["p"] == old["mp"], "left")
-    rows = j.select("p", "fingerprint", "mfp").collect()
-    todo = sorted(int(r["p"]) for r in rows if r["mfp"] is None or r["mfp"] != r["fingerprint"])
-    skipped = sorted(int(r["p"]) for r in rows if r["mfp"] is not None and r["mfp"] == r["fingerprint"])
+    rows = j.select("p", "fingerprint", "rows", "mfp", "mrows").collect()
+    same = lambda r: r["mfp"] == r["fingerprint"] and r["mrows"] == r["rows"]  # noqa: E731
+    todo = sorted(int(r["p"]) for r in rows if r["mfp"] is None or not same(r))
+    skipped = sorted(int(r["p"]) for r in rows if r["mfp"] is not None and same(r))
     return todo, skipped
+
+
+def vanished_buckets(input_fps: DataFrame, manifest: DataFrame, tier: str) -> list[int]:
+    """Buckets recorded in the manifest whose input rows have vanished
+    entirely (no fingerprint row this run). Their written tier partitions
+    and manifest entries are stale and must be cleared — a bucket with
+    zero input emits nothing, so without this anti-join it would silently
+    keep serving old output."""
+    old = manifest.filter(F.col("tier") == tier).select("p")
+    gone = old.join(input_fps.select("p"), "p", "left_anti")
+    return sorted(int(r["p"]) for r in gone.collect())
+
+
+def delete_partition_dirs(spark: SparkSession, root: str, subdirs: Sequence[str]) -> None:
+    """Remove partition directories (e.g. ``tier=1d/p=3``) through the
+    Hadoop FileSystem API — filesystem-agnostic (local/HDFS/object store),
+    driver-side metadata operation. Used to clear stale partitions of
+    vanished buckets."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for sub in subdirs:
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, sub))
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def write_partitioned(

@@ -58,14 +58,22 @@ def read_tier(
     t_lo: int | None = None,
     t_hi: int | None = None,
     buckets: list[int] | None = None,
+    width: int = 1,
 ) -> DataFrame:
     """Scan a tier with partition pruning: a [t_lo, t_hi] epoch-second
     range becomes a day-directory filter; ``buckets`` prunes url-hash
     directories. Both land in the scan's PartitionFilters (check with
-    ``.explain``) — no data outside the range is opened."""
+    ``.explain``) — no data outside the range is opened.
+
+    ``width`` is the tier's window width in seconds. ``d`` partitions on
+    the window START day, so a window [ws, ws+width−1] overlaps
+    [t_lo, t_hi] iff ``ws ≥ t_lo − width + 1`` — the lower day bound is
+    widened accordingly, or tiers wider than a day (30d) would silently
+    drop windows that start before t_lo but still cover it. The default
+    width=1 means "ws in range" point semantics."""
     df = spark.read.parquet(path)
     if t_lo is not None:
-        df = df.filter(F.col("d") >= t_lo // DAY)
+        df = df.filter(F.col("d") >= (t_lo - width + 1) // DAY)
     if t_hi is not None:
         df = df.filter(F.col("d") <= t_hi // DAY)
     if buckets is not None:

@@ -33,9 +33,14 @@ from pyspark.sql import functions as F
 
 
 def fdiv(c: Column, w: int) -> Column:
-    """Exact floor division for LongType (no float round-trip)."""
+    """Exact floor division for LongType, integer end-to-end.
+
+    Spark's ``/`` on longs is double division — exact only below 2^53,
+    which nanosecond-scale epochs exceed. ``cl − pmod(cl, w)`` is an exact
+    multiple of ``w`` (pmod is non-negative), so truncating integral
+    ``div`` equals floor division for any sign, with no float round-trip."""
     cl = c.cast("long")
-    return ((cl - F.pmod(cl, F.lit(w))) / F.lit(w)).cast("long")
+    return F.call_function("div", cl - F.pmod(cl, F.lit(w)), F.lit(w))
 
 
 def estimate_bucket_width(x: DataFrame, start: str, end: str) -> int:

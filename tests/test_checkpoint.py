@@ -41,6 +41,33 @@ def test_resume_skips_unchanged(spark, out_root):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_vanished_bucket_cleared(spark, out_root):
+    """A bucket whose input rows disappear entirely must not keep serving
+    its old tier output (stale partitions + manifest entries removed)."""
+    import os
+
+    from intervalaverage_spark.plans.checkpoint import with_bucket
+
+    pages = synth_webpages(spark, n_pages=40, n_domains=6, seed=5)
+    run_rollup(spark, pages, out_root=out_root, n_buckets=8, tiers=("1d",))
+    parts_before = {d for d in os.listdir(out_root + "/tier=1d") if d.startswith("p=")}
+    assert len(parts_before) >= 2
+
+    # drop every page of one bucket
+    gone_p = int(sorted(parts_before)[0].split("=")[1])
+    kept = with_bucket(pages, "url", 8).filter(F.col("p") != gone_p).drop("p")
+    r = run_rollup(spark, kept, out_root=out_root, n_buckets=8, tiers=("1d",))
+    assert r["buckets"]["vanished"] == 1
+
+    parts_after = {d for d in os.listdir(out_root + "/tier=1d") if d.startswith("p=")}
+    assert f"p={gone_p}" not in parts_after
+    # equals a from-scratch run on the reduced input
+    clean = str(out_root) + "_clean2"
+    run_rollup(spark, kept, out_root=clean, n_buckets=8, tiers=("1d",))
+    a, b = finalize_tier(spark, out_root, "1d"), finalize_tier(spark, clean, "1d")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_written_state_partitioned_by_bucket(spark, out_root, tmp_path):
     pages = synth_webpages(spark, n_pages=20, n_domains=4, seed=5)
     run_rollup(spark, pages, out_root=out_root, n_buckets=4, tiers=("1d",))

@@ -49,6 +49,24 @@ def test_time_range_prunes_partitions(spark, tier_path):
     assert expected.exceptAll(pruned).count() == 0
 
 
+def test_wide_tier_read_keeps_overlapping_windows(spark, tmp_path):
+    """30d windows START before the day of t_lo but still cover it; the
+    widened lower day bound must keep them (point semantics would not)."""
+    w30 = TIER_WIDTHS["30d"]
+    pages = synth_webpages(spark, n_pages=60, n_domains=4)
+    x = observation_intervals(pages, unit=1)
+    st = rollup_from_raw(x, w30, ["text_bytes"], ["url", "lang"])
+    path = str(tmp_path / "t30")
+    write_tier(st, path, n_buckets=2)
+
+    ws0 = read_tier(spark, path).agg(F.min("ws")).first()[0]
+    t_lo = ws0 + 10 * DAY  # inside the first 30d window, 10 days past its start
+    wide = read_tier(spark, path, t_lo=t_lo, t_hi=t_lo + DAY, width=w30)
+    assert wide.filter(F.col("ws") == ws0).count() > 0
+    point = read_tier(spark, path, t_lo=t_lo, t_hi=t_lo + DAY)  # width=1
+    assert point.filter(F.col("ws") == ws0).count() == 0
+
+
 def test_bucket_prunes(spark, tier_path):
     b0 = read_tier(spark, tier_path, buckets=[0])
     assert b0.select("p").distinct().collect() == [b0.select("p").first()]
