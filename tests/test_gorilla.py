@@ -57,6 +57,21 @@ def test_spark_segments_roundtrip(spark):
     assert sp["blob"].map(len).sum() < 16 * len(rows)
 
 
+def test_null_group_keys_survive_both_paths(spark):
+    """pandas groupby's default dropna=True would silently lose points
+    whose group key is null; both encode paths must keep them."""
+    pts = spark.createDataFrame(
+        [("a", 1, 1.0), (None, 2, 2.0), (None, 3, 3.0)],
+        "url string, t long, v double",
+    )
+    for cp in (None, 5):
+        segs = encode_segments(pts, ["url"], "t", "v", 86400, coarse_partitions=cp)
+        assert segs.toPandas()["n_points"].sum() == 3, f"coarse_partitions={cp}"
+        back = decode_segments(segs, ["url"])
+        assert back.count() == 3
+        assert back.filter("url IS NULL").count() == 2
+
+
 def test_coarse_and_per_segment_paths_identical(spark):
     rng = np.random.default_rng(7)
     rows = []
