@@ -4,12 +4,14 @@ Treats media as opaque ``binary`` payloads with typed metadata — the only
 sane representation at 100 TB (media bytes never enter the JVM row format
 uncompressed; Arrow batches carry them to Python workers in bounded
 chunks). The Spark-side plumbing — schema, partitioning, ``mapInPandas``
-batch shape — is real and tested; the actual codec step is STUBBED: the
-image/audio libraries are not in this container, so ``decode_media``
-raises ``NotImplementedError`` for real decoding unless
-``fake='deterministic'`` (the default here), which derives features from
-the payload bytes alone (length, rolling checksum, head/tail bytes) —
-deterministic, engine-portable, and enough to exercise the full pipeline.
+batch shape — is real and tested. The codec step has two real formats and
+honest stubs for the rest: ``kind in {audio/wav, image/bmp}`` decodes to
+actual sample/pixel arrays with the pure-numpy codecs in
+functions/codecs.py (no media libs in this container); other kinds under
+``fake=None`` raise ``NotImplementedError`` unless PIL is importable.
+``fake='deterministic'`` (the default) derives features from the payload
+bytes alone (length, rolling checksum, head bytes) — deterministic,
+engine-portable, and what the SQL-oracled driver query uses.
 
 Batch sizing: ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds rows
 per Arrow batch; for media also bound BYTES per batch by pre-bucketing
@@ -22,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,6 +71,39 @@ def _fake_features(payload: bytes, dims: int = 8) -> list[float]:
     return out
 
 
+def _real_features(kind: str, payload: bytes, dims: int = 8) -> list[float]:
+    """REAL decode for the numpy-implementable formats (codecs.py):
+    sample/pixel statistics, zero-padded to ``dims``. Other kinds raise
+    NotImplementedError (PIL/av not in this container)."""
+    from intervalaverage_spark.functions import codecs
+
+    if kind == "audio/wav":
+        rate, n_ch, x = codecs.decode_wav(payload)
+        flat = x.ravel()
+        feat = [
+            float(rate), float(n_ch), float(x.shape[0]),
+            float(flat.mean()) if flat.size else 0.0,
+            float(np.sqrt((flat * flat).mean())) if flat.size else 0.0,
+            float(np.abs(flat).max()) if flat.size else 0.0,
+        ]
+    elif kind == "image/bmp":
+        px = codecs.decode_bmp(payload)
+        feat = [
+            float(px.shape[1]), float(px.shape[0]), 3.0,
+            float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+            float(px[:, :, 2].mean()),
+        ]
+    elif _HAVE_PIL:  # pragma: no cover — PIL absent in this container
+        raise NotImplementedError("PIL decode path not wired")
+    else:
+        raise NotImplementedError(
+            f"real decoding for kind={kind!r} needs PIL/av/soundfile — not "
+            "in this container; audio/wav and image/bmp decode natively "
+            "(functions/codecs.py), or use fake='deterministic'"
+        )
+    return (feat + [0.0] * dims)[:dims]
+
+
 def decode_media(
     df: DataFrame,
     payload_col: str = "payload",
@@ -76,21 +112,16 @@ def decode_media(
 ) -> DataFrame:
     """Decode/feature-extract media payloads via ``mapInPandas``.
 
-    ``fake='deterministic'`` → byte-derived features (no codec libs).
-    ``fake=None`` → real decode; raises ``NotImplementedError`` unless the
-    codec libraries are importable (they are not in this container).
+    ``fake='deterministic'`` → byte-derived features (no codec needed).
+    ``fake=None`` → real decode: audio/wav and image/bmp via the
+    pure-numpy codecs; anything else raises ``NotImplementedError``.
     """
-    if fake is None and not _HAVE_PIL:
-        raise NotImplementedError(
-            "real media decoding needs PIL/av/soundfile — not available in "
-            "this container; use fake='deterministic' for the pipeline path"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
             n_bytes, checksum, head, feats = [], [], [], []
-            for raw in payloads:
+            for raw, kind in zip(payloads, pdf["kind"]):
                 b = bytes(raw) if raw is not None else b""
                 n_bytes.append(len(b))
                 # rolling polynomial checksum over the first 1 KiB — cheap,
@@ -100,7 +131,10 @@ def decode_media(
                     c = (c * 31 + by) % (1 << 31)
                 checksum.append(c)
                 head.append(b[:8].hex())
-                feats.append(_fake_features(b, feat_dims))
+                if fake == "deterministic":
+                    feats.append(_fake_features(b, feat_dims))
+                else:
+                    feats.append(_real_features(kind, b, feat_dims))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],

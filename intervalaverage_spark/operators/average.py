@@ -123,6 +123,7 @@ def interval_average(
     strategy: str = "auto",
     bucket_width: int | None = None,
     salt: int | None = None,
+    keep_sums: bool = False,
 ) -> DataFrame:
     """Time-weighted average of x's value columns onto y's intervals.
 
@@ -131,6 +132,11 @@ def interval_average(
     R/intervalaverage_functions.R:233-234). Returns one row per deduped
     y row with columns ``(*group_vars, *interval_vars, *value_vars,
     yduration, xduration, nobs_*, xminstart, xmaxend, maxgap_*)``.
+
+    ``keep_sums`` appends the raw ``sum_wv_<v>`` numerators (exact when v
+    is DecimalType) — the mergeable state a caller needs to re-derive or
+    re-round the mean without float ambiguity, and what the tier cascade
+    stores (operators/tiers.py state schema).
     """
     group_vars = list(group_vars)
     value_vars = list(value_vars)
@@ -281,6 +287,8 @@ def interval_average(
         out_cols.append(
             F.coalesce(F.col(f"__ia_mg_{v}"), ydur).cast("long").alias(f"maxgap_{v}")
         )
+    if keep_sums:
+        out_cols += [F.col(f"__ia_swv_{v}").alias(f"sum_wv_{v}") for v in value_vars]
 
     return joined.select(*out_cols).orderBy(*group_vars, *iv)
 

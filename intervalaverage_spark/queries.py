@@ -26,8 +26,11 @@ from intervalaverage_spark import (
     interval_intersect,
     tier_grid,
 )
+from intervalaverage_spark.functions.gorilla import decode_segments, encode_segments
 from intervalaverage_spark.operators.isolate import isolate_overlaps
+from intervalaverage_spark.operators.overlap import overlap_flags
 from intervalaverage_spark.operators.tiers import finalize, rollup_cascade, rollup_from_raw
+from intervalaverage_spark.streaming.rollup_stream import stream_hourly_state
 
 # ------------------------------------------------------------ events → x
 
@@ -268,13 +271,10 @@ JOIN ox ON ox.custkey = f.custkey AND f.fe >= ox.s AND f.fs <= ox.e
 
 
 def q_overlap_flags_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    x = orders_x(spark, sf_dir)
-    w = Window.partitionBy("custkey").orderBy("s", "e")
-    return (
-        x.select("custkey", (F.col("s") <= F.lag("e").over(w)).alias("ov"))
-        .groupBy("custkey")
-        .agg(F.coalesce(F.max("ov"), F.lit(False)).alias("any_overlap"))
-    )
+    # the same lag-window kernel is_overlapping early-outs on
+    # (operators/overlap.py _overlap_scan) — one implementation, two shapes
+    return overlap_flags(orders_x(spark, sf_dir), ("s", "e"), ["custkey"],
+                         validate=False)
 
 
 OVERLAP_ORDERS_SQL = f"""
@@ -284,6 +284,297 @@ fl AS (
   FROM ox
 )
 SELECT custkey, COALESCE(max(ov), FALSE) AS any_overlap FROM fl GROUP BY custkey
+"""
+
+
+# --------------------------------------------------- DATE-domain operators
+# The reference exercises IDate intervals heavily
+# (test-intervalaverage_functions.R:454-546); these entries run the
+# operators on true DateType inputs (the int-days coerce/restore path,
+# operators/average.py _to_int_days/_from_int_days) end-to-end. Dates are
+# projected to ISO strings ONLY in the final compare select — strings are
+# the one date representation pandas renders identically for both engines.
+
+ORDERS_DATE_WIDTH = 32  # days per y window
+
+
+#: prices are 2-dp decimals: scale 6 keeps Σw·v·10^6 an exact BIGINT, so
+#: the compared mean can be rounded with INTEGER half-up arithmetic —
+#: price/2^k quotients land exactly on 6-dp .5 boundaries, where Spark's
+#: (exact BigDecimal) and DuckDB's (×1e6-then-round double) ROUND disagree
+_PRICE_DEC = "decimal(20,6)"
+
+
+def _half_up_micro(sum_wv, nobs):
+    """round-half-up(1e6·Σwv/Σw) as pure integer math (Σwv ≥ 0):
+    (2·S + n) div (2·n) with S = Σwv·1e6 exact. Engine-independent."""
+    s = (sum_wv.cast(_PRICE_DEC) * F.lit(1000000).cast("decimal(7,0)")).cast(
+        "decimal(28,0)"
+    )
+    return F.call_function("div", s * 2 + nobs, nobs * 2)
+
+
+def orders_date_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-date validity intervals, DateType in/out:
+    [order date, day before next order date] (last: +13 days), value =
+    min total price that day, DECIMAL-cast for exact Σw·v."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.to_date("o_orderdate").alias("ds"),
+            "o_totalprice",
+        )
+        .groupBy("custkey", "ds")
+        .agg(F.min("o_totalprice").alias("price"))
+    )
+    w = Window.partitionBy("custkey").orderBy("ds")
+    return pts.select(
+        "custkey",
+        F.col("ds").alias("start"),
+        F.coalesce(
+            F.date_sub(F.lead("ds").over(w), 1), F.date_add(F.col("ds"), 13)
+        ).alias("end"),
+        F.col("price").cast(_PRICE_DEC).alias("price"),
+    )
+
+
+def _orders_date_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = orders_date_x(spark, sf_dir)
+    lohi = x.agg(
+        F.min(F.unix_date("start")).alias("lo"), F.max(F.unix_date("end")).alias("hi")
+    ).first()
+    g = tier_grid(
+        x.select("custkey").distinct(), lohi["lo"], lohi["hi"], ORDERS_DATE_WIDTH
+    )
+    return g.select(
+        "custkey",
+        F.date_from_unix_date(F.col("start").cast("int")).alias("start"),
+        F.date_from_unix_date(F.col("end").cast("int")).alias("end"),
+    )
+
+
+def _iso(c: str):
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def q_interval_average_orders_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = orders_date_x(spark, sf_dir)
+    y = _orders_date_grid(spark, sf_dir)
+    out = interval_average(
+        x, y, ("start", "end"), ["price"], ["custkey"],
+        required_percentage=25, validate=False,
+        strategy="bucket", bucket_width=2 * ORDERS_DATE_WIDTH,
+        keep_sums=True,
+    )
+    # integer half-up 6-dp mean (see _half_up_micro); the operator's own
+    # `price` supplies the required_percentage mask via its nullness
+    price6 = F.when(
+        F.col("price").isNotNull(),
+        _half_up_micro(F.col("sum_wv_price"), F.col("nobs_price")) / F.lit(1000000.0),
+    )
+    return out.select(
+        "custkey", _iso("start").alias("start"), _iso("end").alias("end"),
+        price6.alias("price"),
+        "yduration", "xduration", "nobs_price",
+        _iso("xminstart").alias("xminstart"), _iso("xmaxend").alias("xmaxend"),
+        "maxgap_price",
+    )
+
+
+IA_ORDERS_DATES_SQL = f"""
+WITH pts AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS ds,
+         MIN(o_totalprice) AS price
+  FROM orders GROUP BY 1, 2
+),
+x AS (
+  SELECT custkey,
+         CAST(ds - DATE '1970-01-01' AS BIGINT) AS xs,
+         CAST(COALESCE(lead(ds) OVER (PARTITION BY custkey ORDER BY ds) - 1,
+                       ds + 13) - DATE '1970-01-01' AS BIGINT) AS xe,
+         CAST(price AS DECIMAL(20,6)) AS v
+  FROM pts
+),
+b AS (SELECT CAST(floor(min(xs)/{ORDERS_DATE_WIDTH}.0) AS BIGINT) AS k0,
+             CAST(floor(max(xe)/{ORDERS_DATE_WIDTH}.0) AS BIGINT) AS k1 FROM x),
+y AS (
+  SELECT custkey, {ORDERS_DATE_WIDTH}*k AS ys,
+         {ORDERS_DATE_WIDTH}*k + {ORDERS_DATE_WIDTH - 1} AS ye
+  FROM (SELECT DISTINCT custkey FROM x), b,
+       (SELECT UNNEST(generate_series(k0, k1)) AS k FROM b) ks
+),
+pairs AS (
+  SELECT y.custkey, y.ys, y.ye,
+         GREATEST(x.xs, y.ys) AS os, LEAST(x.xe, y.ye) AS oe, x.v
+  FROM y JOIN x ON x.custkey = y.custkey AND x.xe >= y.ys AND x.xs <= y.ye
+),
+agg AS (
+  SELECT custkey, ys, ye,
+         CAST(SUM(oe - os + 1) AS BIGINT) AS xduration,
+         MIN(os) AS xminstart, MAX(oe) AS xmaxend,
+         SUM(v * CAST(oe - os + 1 AS DECIMAL(10,0))) AS swv,
+         CAST(SUM(CASE WHEN v IS NOT NULL THEN oe - os + 1 END) AS BIGINT) AS nobs
+  FROM pairs GROUP BY 1, 2, 3
+),
+grid AS (SELECT custkey, ys, ye, UNNEST(generate_series(ys, ye)) AS t FROM y),
+cov AS (
+  SELECT DISTINCT gr.custkey, gr.ys, gr.ye, gr.t
+  FROM grid gr JOIN pairs p
+    ON p.custkey = gr.custkey AND p.ys = gr.ys AND p.ye = gr.ye
+   AND gr.t BETWEEN p.os AND p.oe AND p.v IS NOT NULL
+),
+unc AS (
+  SELECT gr.custkey, gr.ys, gr.ye, gr.t,
+         gr.t - ROW_NUMBER() OVER (PARTITION BY gr.custkey, gr.ys, gr.ye ORDER BY gr.t) AS grp
+  FROM grid gr ANTI JOIN cov USING (custkey, ys, ye, t)
+),
+gaps AS (
+  SELECT custkey, ys, ye, MAX(cnt) AS maxgap
+  FROM (SELECT custkey, ys, ye, grp, COUNT(*) AS cnt FROM unc GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2, 3
+)
+SELECT y.custkey,
+       strftime(DATE '1970-01-01' + CAST(y.ys AS INT), '%Y-%m-%d') AS start,
+       strftime(DATE '1970-01-01' + CAST(y.ye AS INT), '%Y-%m-%d') AS "end",
+       CASE WHEN COALESCE(a.nobs, 0) > 0
+              AND 100.0 * a.nobs / (y.ye - y.ys + 1) >= 25.0
+            THEN ((2 * CAST(CAST(a.swv AS DECIMAL(20,6)) * 1000000 AS BIGINT)
+                   + a.nobs) // (2 * a.nobs)) / 1000000.0
+       END AS price,
+       y.ye - y.ys + 1 AS yduration,
+       COALESCE(a.xduration, 0) AS xduration,
+       COALESCE(a.nobs, 0) AS nobs_price,
+       strftime(DATE '1970-01-01' + CAST(a.xminstart AS INT), '%Y-%m-%d') AS xminstart,
+       strftime(DATE '1970-01-01' + CAST(a.xmaxend AS INT), '%Y-%m-%d') AS xmaxend,
+       COALESCE(g.maxgap, 0) AS maxgap_price
+FROM y LEFT JOIN agg a ON a.custkey = y.custkey AND a.ys = y.ys AND a.ye = y.ye
+LEFT JOIN gaps g ON g.custkey = y.custkey AND g.ys = y.ys AND g.ye = y.ye
+"""
+
+
+def q_interval_intersect_orders_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = orders_date_x(spark, sf_dir)
+    y = _orders_date_grid(spark, sf_dir).withColumnsRenamed(
+        {"start": "ws", "end": "we"}
+    )
+    out = interval_intersect(
+        x, y, {"start": "ws", "end": "we"}, group_vars=["custkey"],
+        validate=False, strategy="bucket", bucket_width=2 * ORDERS_DATE_WIDTH,
+    )
+    return out.select(
+        "custkey", _iso("start").alias("start"), _iso("end").alias("end"),
+        F.round(F.col("price").cast("double"), 6).alias("price"),
+    )
+
+
+II_ORDERS_DATES_SQL = f"""
+WITH pts AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS ds,
+         MIN(o_totalprice) AS price
+  FROM orders GROUP BY 1, 2
+),
+x AS (
+  SELECT custkey, ds AS xs,
+         COALESCE(lead(ds) OVER (PARTITION BY custkey ORDER BY ds) - 1, ds + 13) AS xe,
+         CAST(CAST(price AS DECIMAL(20,6)) AS DOUBLE) AS price
+  FROM pts
+),
+xi AS (SELECT custkey, CAST(xs - DATE '1970-01-01' AS BIGINT) AS s,
+              CAST(xe - DATE '1970-01-01' AS BIGINT) AS e, price FROM x),
+b AS (SELECT CAST(floor(min(s)/{ORDERS_DATE_WIDTH}.0) AS BIGINT) AS k0,
+             CAST(floor(max(e)/{ORDERS_DATE_WIDTH}.0) AS BIGINT) AS k1 FROM xi),
+y AS (
+  SELECT custkey, {ORDERS_DATE_WIDTH}*k AS ys,
+         {ORDERS_DATE_WIDTH}*k + {ORDERS_DATE_WIDTH - 1} AS ye
+  FROM (SELECT DISTINCT custkey FROM xi), b,
+       (SELECT UNNEST(generate_series(k0, k1)) AS k FROM b) ks
+)
+SELECT y.custkey,
+       strftime(DATE '1970-01-01' + CAST(GREATEST(xi.s, y.ys) AS INT), '%Y-%m-%d') AS start,
+       strftime(DATE '1970-01-01' + CAST(LEAST(xi.e, y.ye) AS INT), '%Y-%m-%d') AS "end",
+       ROUND(xi.price, 6) AS price
+FROM y JOIN xi ON xi.custkey = y.custkey AND xi.e >= y.ys AND xi.s <= y.ye
+"""
+
+
+# ------------------------------------------- Gorilla + streaming (oracled)
+
+def q_gorilla_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the deduped hourly event points into Gorilla segment blobs
+    (weekly segments, coarse-bucketed applyInPandas) and decode them back:
+    the oracle is simply the raw point set, so the blobs' bit-exactness is
+    driver-checked, not just pytest-checked."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    pts = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+            "value",
+        )
+        .groupBy("user_id", "h")
+        .agg(F.min("value").alias("v"))
+    )
+    segs = encode_segments(pts, ["user_id"], "h", "v", segment_width=168,
+                           coarse_partitions=64)
+    back = decode_segments(segs, ["user_id"], t_col="h", value_col="v")
+    return back.select("user_id", F.col("h").alias("t"), F.round("v", 6).alias("v"))
+
+
+GORILLA_ROUNDTRIP_SQL = """
+SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS t,
+       ROUND(MIN(value), 6) AS v
+FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming 1h tier over a bounded file stream (availableNow):
+    event-time tumbling windows + watermark, complete-mode memory sink for
+    the oracle compare (production sink is append parquet,
+    streaming/rollup_stream.py write_hourly_state). Values are DECIMAL so
+    the streamed Σv is exact and engine/order-independent."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        # the streaming file source wants a directory: stream the sf dir
+        # with a glob pinned to the events table (single-file layout)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("value", F.col("value").cast(_VALUE_DEC))
+        # parquet naive timestamps read as TIMESTAMP_NTZ; watermarks need
+        # TIMESTAMP — session tz is UTC, so the cast is the identity map
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    st = stream_hourly_state(src, delay="1 hour", value_col="value",
+                             group_vars=("user_id",), ts_col="ts")
+    name = "q_streaming_hourly_events"
+    q = (
+        st.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        "user_id", "ws", "we",
+        F.round(F.col("sum_v").cast("double"), 6).alias("sum_v"),
+        "n_obs",
+        F.unix_timestamp("t_min").alias("t_min"),
+        F.unix_timestamp("t_max").alias("t_max"),
+    )
+
+
+STREAMING_HOURLY_SQL = """
+SELECT user_id,
+       3600 * CAST(floor(epoch(ts)/3600) AS BIGINT) AS ws,
+       3600 * CAST(floor(epoch(ts)/3600) AS BIGINT) + 3599 AS we,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(26,12))) AS DOUBLE), 6) AS sum_v,
+       CAST(COUNT(value) AS BIGINT) AS n_obs,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS t_min,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS t_max
+FROM events GROUP BY 1, 2, 3
 """
 
 
@@ -345,6 +636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_rollup_1d_events": q_tier_rollup_events(24, None),
         "tier_rollup_30d_events_cascade": q_tier_rollup_events(720, cascade_from=24),
         "interval_intersect_events_daily": q_interval_intersect_events_daily,
+        "interval_average_orders_dates": q_interval_average_orders_dates,
+        "interval_intersect_orders_dates": q_interval_intersect_orders_dates,
+        "gorilla_roundtrip_events": q_gorilla_roundtrip_events,
+        "streaming_hourly_events": q_streaming_hourly_events,
         "isolate_overlaps_orders": q_isolate_overlaps_orders,
         "overlap_flags_orders": q_overlap_flags_orders,
         "cj_region_nation": q_cj_region_nation,
@@ -364,6 +659,10 @@ def oracle_sql() -> dict[str, str]:
         "tier_rollup_1d_events": _ia_oracle_sql(24, 0.0, sparse=True),
         "tier_rollup_30d_events_cascade": _ia_oracle_sql(720, 0.0, sparse=True),
         "interval_intersect_events_daily": INTERSECT_EVENTS_SQL,
+        "interval_average_orders_dates": IA_ORDERS_DATES_SQL,
+        "interval_intersect_orders_dates": II_ORDERS_DATES_SQL,
+        "gorilla_roundtrip_events": GORILLA_ROUNDTRIP_SQL,
+        "streaming_hourly_events": STREAMING_HOURLY_SQL,
         "isolate_overlaps_orders": ISOLATE_ORDERS_SQL,
         "overlap_flags_orders": OVERLAP_ORDERS_SQL,
         "cj_region_nation": "SELECT r_name, n_name FROM region CROSS JOIN nation",

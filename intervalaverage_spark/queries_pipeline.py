@@ -109,20 +109,35 @@ FROM st
 
 # ------------------------------------------------------------ fuzzy dedup
 
+#: stop-shingle document-frequency cap — bounds the inverted-index
+#: self-join fan-out (a boilerplate shingle shared by 10^6 docs makes the
+#: candidate join quadratic at 100 TB). Mirrored exactly in the oracle.
+NGRAM_MAX_DF = 256
+
+
 def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5,
+                               max_df=NGRAM_MAX_DF)
 
 
+# mirrors ngram_jaccard_pairs WITH the max_df cap: shingles with document
+# frequency > max_df are dropped from the inverted index BEFORE the
+# self-join (common counts kept-shingles only) while |A|, |B| stay the
+# FULL set sizes — exactly the Spark plan's semantics.
 NGRAM_JACCARD_SQL = rf"""
 WITH {_SHINGLES_SQL},
+ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+hot AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) > {NGRAM_MAX_DF}),
+kept AS (SELECT ex.* FROM ex ANTI JOIN hot USING (g)),
 p AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2,
-         len(list_intersect(a.s, b.s))
-           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-)
-SELECT id1, id2, ROUND(j, 6) AS jaccard FROM p WHERE ROUND(j, 6) >= 0.5
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS sz1, b.sz AS sz2,
+         COUNT(*) AS common
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+j AS (SELECT id1, id2, common / (sz1 + sz2 - common) AS j FROM p)
+SELECT id1, id2, ROUND(j, 6) AS jaccard FROM j WHERE ROUND(j, 6) >= 0.5
 """
 
 
@@ -233,6 +248,44 @@ WITH p AS (
 SELECT id1, id2, ROUND(c, 6) AS cosine FROM p WHERE ROUND(c, 6) >= 0.4
 """
 
+def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of embedding near-dup: SRP-bucket blocking (one
+    4-plane band → 16 blocks) so the self-join is per-block instead of
+    O(n²) — the shape :func:`embedding_neardup_pairs` demands at 10^9
+    vectors, here oracle-checked. Recall < 1 by design (pairs straddling a
+    hyperplane are missed); the unblocked exact entry stays alongside."""
+    from intervalaverage_spark.functions.dedup import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eb = ann.with_srp_buckets(e, "embedding", dims=ANN_DIMS, bands=1,
+                              planes=ANN_PLANES)
+    return embedding_neardup_pairs(eb, "vec_id", "embedding", threshold=0.4,
+                                   group_col="srp_b0")
+
+
+def _neardup_blocked_sql() -> str:
+    def bucket(vec_expr: str) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql(vec_expr, ann.plane_vector(0, p, ANN_DIMS))} >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(ANN_PLANES)
+        )
+        return f"({bits})"
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+vb AS (SELECT vec_id, v, {bucket('v')} AS b FROM v),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_cosine_similarity(a.v, b.v) AS c
+  FROM vb a JOIN vb b ON a.b = b.b AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, ROUND(c, 6) AS cosine FROM p WHERE ROUND(c, 6) >= 0.4
+"""
+
+
 ANN_BANDS, ANN_PLANES, ANN_DIMS = 2, 4, 64
 
 
@@ -313,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "ann_srp_topk_embeddings": q_ann_srp_topk,
         "multimodal_decode_documents": q_multimodal_decode,
     }
@@ -325,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_documents": _minhash_lsh_sql(),
         "simhash_documents": _simhash_sql(),
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+        "embedding_neardup_blocked": _neardup_blocked_sql(),
         "ann_srp_topk_embeddings": _ann_srp_sql(),
         "multimodal_decode_documents": MULTIMODAL_SQL,
     }

@@ -38,25 +38,33 @@ def stream_hourly_state(
     visits: DataFrame,
     delay: str = "2 hours",
     value_col: str = "text_bytes",
+    group_vars: tuple[str, ...] = ("url", "lang"),
+    ts_col: str = "warc_ts",
 ) -> DataFrame:
-    """visits (streaming DF with url, lang, warc_ts, text payload cols) →
+    """visits (streaming DF with group, event-time and value cols) →
     streaming 1h point-state aggregate. Output mode: update/append via
     ``writeStream`` (caller chooses sink; see :func:`write_hourly_state`).
     """
-    src = visits.withWatermark("warc_ts", delay)
-    v = F.col(value_col).cast("double")
+    gv = list(group_vars)
+    src = visits.withWatermark(ts_col, delay)
+    # DecimalType values keep exact (order-independent) sums — the same
+    # exact-arithmetic contract as the batch tiers (operators/average.py
+    # _wv_term); everything else sums as double.
+    from pyspark.sql import types as T
+
+    v = F.col(value_col)
+    if not isinstance(visits.schema[value_col].dataType, T.DecimalType):
+        v = v.cast("double")
     return (
-        src.groupBy(
-            F.col("url"), F.col("lang"), F.window("warc_ts", "1 hour").alias("w")
-        )
+        src.groupBy(*gv, F.window(ts_col, "1 hour").alias("w"))
         .agg(
             F.sum(v).alias("sum_v"),
             F.count(v).alias("n_obs"),
-            F.min("warc_ts").alias("t_min"),
-            F.max("warc_ts").alias("t_max"),
+            F.min(ts_col).alias("t_min"),
+            F.max(ts_col).alias("t_max"),
         )
         .select(
-            "url", "lang",
+            *gv,
             F.unix_timestamp("w.start").alias("ws"),
             (F.unix_timestamp("w.end") - 1).alias("we"),
             "sum_v", "n_obs", "t_min", "t_max",
