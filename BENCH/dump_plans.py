@@ -62,15 +62,16 @@ def main() -> None:
         "interval_average (bucketed range join, weekly buckets)",
         q.q_interval_average_events_daily(spark, sf),
         must=["SortMergeJoin", "ReadSchema"],
-        must_not=["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython",
+                  "FlatMapGroupsInPandas", "ObjectHashAggregate"],
         note=(
             "The range join is manufactured into an equi-join on "
             "(user_id, week-bucket) → SortMergeJoin; Catalyst would "
-            "otherwise post-filter ranges after a per-user join. No "
-            "row-at-a-time Python anywhere (BatchEvalPython absent); the "
-            "maxgap kernel is ArrowEvalPython/FlatMapGroupsInPandas "
-            "(vectorized) only where expressions can't express an ordered "
-            "scan."
+            "otherwise post-filter ranges after a per-user join. The whole "
+            "operator — including the maxgap state, a window running-max "
+            "sharing the groupBy's exchange — is JVM expressions: no "
+            "Python of any kind, no collect_list ObjectHashAggregate "
+            "(round-1's scale-killer, replaced in round 2)."
         ),
     )
 
@@ -118,10 +119,12 @@ def main() -> None:
 
     sections.append(
         "## Notes\n\n"
-        "- `FlatMapGroupsInPandas`/`ArrowEvalPython` appear ONLY in the "
-        "Gorilla segment encoder and the interval_average maxgap kernel — "
-        "the two order-sensitive scans Spark expressions cannot fuse; both "
-        "are Arrow-vectorized (input_hint: no per-row Python).\n"
+        "- `FlatMapGroupsInPandas`/`MapInPandas` appear ONLY in the Gorilla "
+        "segment codec and the media decode — bit-level/codec work Spark "
+        "expressions cannot express; both are Arrow-batched and "
+        "numpy-vectorized inside (input_hint: no per-row Python). Since "
+        "round 2 the interval_average maxgap is pure JVM window state — "
+        "no pandas anywhere in the relational operators.\n"
         "- Layout scans (plans/layout.py) carry `PartitionFilters` on "
         "(d, p) — asserted in tests/test_layout.py.\n"
     )
