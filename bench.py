@@ -253,6 +253,8 @@ def main() -> None:
                 f"(target ≥ 0.8)\n\n"
                 f"Details:\n\n"
                 f"```json\n{json.dumps({f'local[{c}]': r['queries'] for c, r in res.items()}, indent=2)}\n```\n"
+                "\nMicro-benchmarks and skew/salting measurements: "
+                "BENCH/NOTES.md.\n"
             )
         print(json.dumps({"scaling_efficiency": eff,
                           "points_per_sec": {f"local{lo}": t_lo, f"local{hi}": t_hi}}))
