@@ -47,6 +47,7 @@ cross-engine value-hash stability; float columns keep plain double sums.
 
 from __future__ import annotations
 
+import datetime
 import warnings
 from collections.abc import Sequence
 
@@ -124,6 +125,7 @@ def interval_average(
     bucket_width: int | None = None,
     salt: int | None = None,
     keep_sums: bool = False,
+    verbose: bool = False,
 ) -> DataFrame:
     """Time-weighted average of x's value columns onto y's intervals.
 
@@ -153,6 +155,16 @@ def interval_average(
             forbid_duplicates=True, label="x",
         )
         check_intervals(y, iv[0], iv[1], group_vars, label="y")
+        if verbose:
+            # reference prints timing breadcrumbs after each stage
+            # (R/intervalaverage_functions.R:156, :335, :483)
+            print(f"{datetime.datetime.now()} passed errorcheck: x is non-overlapping.")
+    if verbose:
+        print(
+            f"{datetime.datetime.now()} interval_average: strategy={strategy} "
+            f"bucket_width={bucket_width} salt={salt} (plan is lazy; stages "
+            "execute on action)"
+        )
 
     xp = _prep(x, iv, "__ia_xs", "__ia_xe", [*group_vars, *value_vars], x_dates)
     yp = _prep(y, iv, "__ia_ys", "__ia_ye", group_vars, y_dates).dropDuplicates(

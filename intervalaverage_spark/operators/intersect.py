@@ -32,6 +32,7 @@ def interval_intersect(
     strategy: str = "auto",
     bucket_width: int | None = None,
     salt: int | None = None,
+    verbose: bool = False,
 ) -> DataFrame:
     """Inner range join + clip. Output columns: ``(*group_vars(y names),
     *interval_vars_out, *other x cols, *other y cols)``. Name collisions
@@ -55,6 +56,14 @@ def interval_intersect(
     if validate:
         check_intervals(x, x_iv[0], x_iv[1], x_gv, label="x")
         check_intervals(y, y_iv[0], y_iv[1], y_gv, label="y")
+    if verbose:
+        # reference prints processing info (R/intervalintersect.r:49, :119)
+        import datetime
+
+        print(
+            f"{datetime.datetime.now()} interval_intersect: strategy={strategy} "
+            f"groups={list(gmap_desc) if (gmap_desc := dict(zip(x_gv, y_gv))) else None}"
+        )
 
     x_rest = [c for c in x.columns if c not in (*x_iv, *x_gv)]
     y_rest = [c for c in y.columns if c not in (*y_iv, *y_gv)]

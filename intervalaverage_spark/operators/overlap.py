@@ -44,7 +44,13 @@ def is_overlapping(
     interval_vars: Sequence[str],
     group_vars: Sequence[str] = (),
     validate: bool = True,
+    verbose: bool = False,
 ) -> bool:
+    if verbose:
+        # reference hints about pre-sorting (R/isoverlapping.R:80); Spark
+        # sorts inside the window, so the hint is about the plan instead
+        print("is_overlapping: one lag-window pass over "
+              f"(groups={list(group_vars)}, {list(interval_vars)}), early-out limit 1")
     hits = (
         _overlap_scan(x, interval_vars, group_vars, validate)
         .filter(F.col("__ov"))

@@ -498,6 +498,42 @@ FROM y JOIN xi ON xi.custkey = y.custkey AND xi.e >= y.ys AND xi.s <= y.ye
 """
 
 
+def q_checkpoint_tier_1d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineage-checkpoint write/resume path, driver-checked: bucket the
+    hourly x table on user_id, write the 1d tier state partitioned by
+    bucket with a fingerprint manifest, run plan_resume against it (must
+    skip every bucket — same input), read the state back from disk and
+    finalize. The oracle is the plain 1d tier SQL, so the whole
+    write → manifest → resume-plan → read → finalize loop must be exact."""
+    import tempfile
+
+    from intervalaverage_spark.plans import checkpoint as ckpt
+
+    x = events_x(spark, sf_dir).withColumnRenamed("v", "value").withColumn(
+        "value", F.col("value").cast(_VALUE_DEC)
+    )
+    xb = ckpt.with_bucket(x, "user_id", 8)
+    tmp = tempfile.mkdtemp(prefix="ia_ckpt_q_")
+    fps = ckpt.fingerprint_partitions(xb)
+    st = rollup_from_raw(xb, 24, ["value"], ["user_id", "p"])
+    ckpt.write_partitioned(st, f"{tmp}/tier_1d", ("p",))
+    ckpt.write_manifest(
+        fps.select(
+            F.lit("input").alias("tier"), "p",
+            F.col("fingerprint").alias("input_fingerprint"),
+            F.col("rows").alias("input_rows"),
+            F.lit(None).cast("long").alias("output_rows"),
+            F.lit(None).cast("long").alias("output_checksum"),
+        ),
+        tmp,
+    )
+    todo, skipped = ckpt.plan_resume(fps, ckpt.read_manifest(spark, tmp), "input")
+    assert todo == [] and len(skipped) == 8, (todo, skipped)
+    state = spark.read.parquet(f"{tmp}/tier_1d")
+    out = finalize(state, 24, ["value"], ["user_id"], required_percentage=0)
+    return _points_select(out)
+
+
 # ------------------------------------------- Gorilla + streaming (oracled)
 
 def q_gorilla_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_intersect_orders_dates": q_interval_intersect_orders_dates,
         "gorilla_roundtrip_events": q_gorilla_roundtrip_events,
         "streaming_hourly_events": q_streaming_hourly_events,
+        "checkpoint_tier_1d_events": q_checkpoint_tier_1d_events,
         "isolate_overlaps_orders": q_isolate_overlaps_orders,
         "overlap_flags_orders": q_overlap_flags_orders,
         "cj_region_nation": q_cj_region_nation,
@@ -663,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_intersect_orders_dates": II_ORDERS_DATES_SQL,
         "gorilla_roundtrip_events": GORILLA_ROUNDTRIP_SQL,
         "streaming_hourly_events": STREAMING_HOURLY_SQL,
+        "checkpoint_tier_1d_events": _ia_oracle_sql(24, 0.0, sparse=True),
         "isolate_overlaps_orders": ISOLATE_ORDERS_SQL,
         "overlap_flags_orders": OVERLAP_ORDERS_SQL,
         "cj_region_nation": "SELECT r_name, n_name FROM region CROSS JOIN nation",

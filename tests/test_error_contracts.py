@@ -114,3 +114,25 @@ def test_check_intervals_reports_first_problem(spark):
     df = spark.createDataFrame([(1, 5, 3)], "g long, s long, e long")
     with pytest.raises(IntervalDataError, match="start > end"):
         check_intervals(df, "s", "e", ["g"])
+
+
+def test_verbose_diagnostics_api_parity(spark, xy, capsys):
+    """Reference exposes `verbose` on every entry point
+    (R/intervalaverage_functions.R:156, R/intervalintersect.r:49,
+    R/isoverlapping.R:31); ours accepts it and prints stage breadcrumbs."""
+    from intervalaverage_spark import interval_average, interval_intersect
+    from intervalaverage_spark.operators.overlap import is_overlapping
+
+    x, y = xy
+    interval_average(x, y, ("start", "end"), ["v"], ["g"], verbose=True).collect()
+    out = capsys.readouterr().out
+    assert "passed errorcheck" in out and "interval_average" in out
+
+    interval_intersect(
+        x.drop("v"), y.withColumnsRenamed({"start": "ws", "end": "we"}),
+        {"start": "ws", "end": "we"}, group_vars=["g"], verbose=True,
+    ).collect()
+    assert "interval_intersect" in capsys.readouterr().out
+
+    is_overlapping(x, ("start", "end"), ["g"], verbose=True)
+    assert "lag-window" in capsys.readouterr().out
