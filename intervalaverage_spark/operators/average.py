@@ -179,9 +179,11 @@ def interval_average(
                 stacklevel=2,
             )
 
-    # --- range join: x pairs onto deduped y (inner; unmatched y restored
-    # by the join-back below, which also turns the whole thing into the
-    # right-join semantics of the reference, :412-430)
+    # --- RIGHT range join: x pairs onto deduped y, unmatched y kept with
+    # null x columns (the reference's right-join semantics, :412-430,
+    # expressed directly — no second join-back needed: null-x rows
+    # contribute nothing to any aggregate below, and the per-bucket
+    # duplicates of an unmatched y collapse in the same groupBy).
     xg = [f"__ia_xg{i}" for i in range(len(group_vars))]
     xr = xp.select(
         *[F.col(g).alias(a) for g, a in zip(group_vars, xg)],
@@ -192,10 +194,14 @@ def interval_average(
         ("__ia_xs", "__ia_xe"), ("__ia_ys", "__ia_ye"),
         group_vars=dict(zip(xg, group_vars)),
         strategy=strategy, bucket_width=bucket_width, salt=salt,
+        how="right",
     ).drop(*xg)
 
-    os_ = F.greatest(F.col("__ia_xs"), F.col("__ia_ys"))
-    oe_ = F.least(F.col("__ia_xe"), F.col("__ia_ye"))
+    # greatest/least SKIP nulls in Spark, so the right join's x-null rows
+    # would otherwise clip to the full y window — gate on a matched x
+    matched = F.col("__ia_xs").isNotNull()
+    os_ = F.when(matched, F.greatest(F.col("__ia_xs"), F.col("__ia_ys")))
+    oe_ = F.when(matched, F.least(F.col("__ia_xe"), F.col("__ia_ye")))
     w = oe_ - os_ + 1
     gkeys = [*group_vars, "__ia_ys", "__ia_ye"]
 
@@ -242,23 +248,11 @@ def interval_average(
         ).alias(f"__ia_mg_{v}")
         for v in value_vars
     ]
-    agg = agg.select(*gkeys, "__ia_xdur", "__ia_xmin", "__ia_xmax",
-                     *[c for v in value_vars for c in (f"__ia_swv_{v}", f"__ia_nobs_{v}")],
-                     *mg)
-
-    # --- join back onto deduped y so unmatched y rows survive (null-safe on
-    # group keys: NA group values join like values, data.table semantics).
-    # All agg-side keys get fresh names: agg shares lineage with yp, so
-    # same-name column references would resolve ambiguously.
-    ar = agg
-    renames = [(g, f"__ia_a_{g}") for g in group_vars]
-    renames += [("__ia_ys", "__ia_a_ys"), ("__ia_ye", "__ia_a_ye")]
-    for old, new in renames:
-        ar = ar.withColumnRenamed(old, new)
-    cond = (yp["__ia_ys"] == ar["__ia_a_ys"]) & (yp["__ia_ye"] == ar["__ia_a_ye"])
-    for g in group_vars:
-        cond = yp[g].eqNullSafe(ar[f"__ia_a_{g}"]) & cond
-    joined = yp.join(ar, cond, "left").drop(*[new for _, new in renames])
+    joined = agg.select(
+        *gkeys, "__ia_xdur", "__ia_xmin", "__ia_xmax",
+        *[c for v in value_vars for c in (f"__ia_swv_{v}", f"__ia_nobs_{v}")],
+        *mg,
+    )
 
     ydur = (F.col("__ia_ye") - F.col("__ia_ys") + 1).cast("long")
     out_cols: list[Column] = [F.col(g) for g in group_vars]

@@ -63,9 +63,18 @@ def range_join(
     strategy: str = "auto",
     bucket_width: int | None = None,
     salt: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join of every (x row, y row) pair whose closed intervals overlap
+    """Join of every (x row, y row) pair whose closed intervals overlap
     within equal group keys: ``x.end >= y.start AND x.start <= y.end``.
+
+    ``how="right"`` additionally keeps y rows with no overlapping x (their
+    x-side columns null) — note that under the bucket strategy an
+    unmatched y surfaces once per time bucket it covers (and a salted one
+    once per salt replica), all x-null; aggregating callers group by y
+    keys anyway, so the duplicates collapse and null x rows contribute
+    nothing. This is what lets interval_average skip a second join-back
+    for its unmatched-y semantics.
 
     ``group_vars`` may be a mapping {x_col: y_col} (named-vector semantics of
     the reference, R/intervalintersect.r:41-43). Columns from both sides are
@@ -96,11 +105,14 @@ def range_join(
         y = y.withColumn("__ia_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
         gmap = {**gmap, "__ia_salt": "__ia_salt"}
 
+    if how not in ("inner", "right"):
+        raise ValueError(f"how must be 'inner' or 'right', got {how!r}")
+
     if strategy == "sortmerge":
         cond = range_pred
         for gx, gy in gmap.items():
             cond = x[gx].eqNullSafe(y[gy]) & cond
-        out = x.join(y, cond, "inner")
+        out = x.join(y, cond, how)
     elif strategy == "bucket":
         w = bucket_width or estimate_bucket_width(x, xs, xe)
         xb = x.withColumn(
@@ -117,7 +129,9 @@ def range_join(
         cond = cond & (xb[xe] >= yb[ys]) & (xb[xs] <= yb[ye])
         # each pair once: only in the bucket holding the overlap start
         cond = cond & (fdiv(F.greatest(xb[xs], yb[ys]), w) == xb["__ia_bucket"])
-        out = xb.join(yb, cond, "inner").drop("__ia_bucket")
+        # drop(str) removes BOTH sides' bucket columns (x's is null on
+        # right-join-unmatched rows anyway)
+        out = xb.join(yb, cond, how).drop("__ia_bucket")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
