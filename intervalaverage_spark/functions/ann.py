@@ -103,6 +103,78 @@ def brute_topk(
     )
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the SAME left-to-right fold order as
+    :func:`cosine` (and DuckDB's list_cosine_similarity loop)."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    return dot / (na**0.5 * nb**0.5)
+
+
+def ivf_cells(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF-flat coarse quantizer with DETERMINISTIC sampled centroids: the
+    ``n_cells`` lowest-id vectors ARE the centroids (no RNG, no k-means
+    float state — any engine reproduces the cell assignment exactly, which
+    is what makes the driver's value-hash oracle possible). Assignment =
+    argmax ROUND(cosine, 6) with centroid-id tie-break, computed as ONE
+    zero-shuffle projection (``greatest`` over literal-centroid structs).
+
+    Scale notes: centroids are a bounded driver-side read (n_cells rows);
+    the assignment scan is column-pruned and shuffle-free, and writing the
+    table partitioned by ``ivf_cell`` makes probes partition-pruned. At
+    10^9 vectors swap the interpreted higher-order cosine folds for a
+    vectorized pandas_udf over the same literal centroids; at this
+    fan-out (n_cells ≤ 64) the expression form is fine. Real IVF trains
+    centroids with k-means — sampled centroids are the deterministic
+    stand-in with the same query-time structure (quantize → probe)."""
+    cents = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    cands = [
+        F.struct(
+            F.round(cosine(v, F.array(*[F.lit(x) for x in cv])), 6).alias("c"),
+            F.lit(-cid).cast("long").alias("nid"),  # ties → lowest centroid id
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, cv in cents
+    ]
+    return df.withColumn("ivf_cell", F.greatest(*cands)["cid"]), cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k via IVF: quantize every vector to its nearest sampled
+    centroid, probe the ``nprobe`` cells nearest the query, exact-rerank
+    by cosine inside them. Deterministic; recall < 1 by design (vectors
+    whose cell isn't probed are missed — the nprobe knob)."""
+    assigned, cents = ivf_cells(df, id_col, vec_col, n_cells)
+    ranked = sorted(
+        cents, key=lambda c: (-round(_cos_py(query_vec, c[1]), 6), c[0])
+    )
+    probes = [cid for cid, _ in ranked[:nprobe]]
+    return brute_topk(
+        assigned.filter(F.col("ivf_cell").isin(probes)), query_vec, id_col, vec_col, k
+    )
+
+
 def srp_topk(
     df: DataFrame,
     query_vec: list[float],

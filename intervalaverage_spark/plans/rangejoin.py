@@ -43,13 +43,18 @@ def fdiv(c: Column, w: int) -> Column:
     return F.call_function("div", cl - F.pmod(cl, F.lit(w)), F.lit(w))
 
 
-def estimate_bucket_width(x: DataFrame, start: str, end: str) -> int:
+def estimate_bucket_width(x: DataFrame, start: str, end: str, sample_rows: int = 100_000) -> int:
     """Heuristic bucket width ≈ p75 x-interval length: most intervals then
     hit 1-2 buckets, so the explode factor stays ~2 while buckets stay
-    selective. One tiny aggregate job (runs on a sample at scale)."""
-    row = x.select(
-        F.percentile_approx(F.col(end).cast("long") - F.col(start).cast("long") + 1, 0.75).alias("p75")
-    ).first()
+    selective. Estimated from the first ``sample_rows`` rows — ANY width
+    is correct (it only shapes the plan), so a cheap prefix sample beats a
+    full scan of a 100 TB table for a planning constant."""
+    row = (
+        x.select((F.col(end).cast("long") - F.col(start).cast("long") + 1).alias("__len"))
+        .limit(sample_rows)
+        .agg(F.percentile_approx("__len", 0.75).alias("p75"))
+        .first()
+    )
     w = int(row["p75"] or 1)
     return max(w, 1)
 

@@ -299,6 +299,57 @@ def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS, IVF_NPROBE = 16, 2
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second ANN scale path: IVF-flat with deterministic sampled
+    centroids (functions/ann.py ivf_cells) — quantize, probe the nprobe
+    nearest cells, exact-rerank. Complements SRP-LSH with the
+    data-dependent (centroid-based) pruning family."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = e.orderBy("vec_id").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    return ann.ivf_topk(
+        e.filter(F.col("vec_id") != qrow["vec_id"]), qv, "vec_id", "embedding",
+        k=10, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
+    )
+
+
+def _ann_ivf_sql() -> str:
+    # NOTE the query vector is EXCLUDED from the table before centroid
+    # sampling (mirrors the Spark side, which filters first): centroids
+    # are the IVF_CELLS lowest ids of the remaining vectors.
+    return f"""
+WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM vv
+      WHERE vec_id = (SELECT min(vec_id) FROM vv)),
+e AS (SELECT vv.* FROM vv, q WHERE vv.vec_id <> q.qid),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {IVF_CELLS}),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid
+         ) AS rn
+  FROM e, c
+),
+cells AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid
+           ) AS rn
+    FROM c, q
+  ) WHERE rn <= {IVF_NPROBE}
+)
+SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+FROM e JOIN cells USING (vec_id) JOIN probes ON probes.cid = cells.cid, q
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
 def _dot_sql(vec_expr: str, weights: list[float]) -> str:
     """Explicit left-to-right dot product — same fold order as
     F.aggregate(zip_with(...)) and srp_bucket_py."""
@@ -368,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "ann_srp_topk_embeddings": q_ann_srp_topk,
+        "ann_ivf_topk_embeddings": q_ann_ivf_topk,
         "multimodal_decode_documents": q_multimodal_decode,
     }
 
@@ -381,5 +433,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "embedding_neardup_blocked": _neardup_blocked_sql(),
         "ann_srp_topk_embeddings": _ann_srp_sql(),
+        "ann_ivf_topk_embeddings": _ann_ivf_sql(),
         "multimodal_decode_documents": MULTIMODAL_SQL,
     }

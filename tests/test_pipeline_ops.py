@@ -135,6 +135,27 @@ def test_srp_topk_subset_of_brute(spark):
     assert approx[0]["vec_id"] == 0 and approx[0]["cosine"] == 1.0
 
 
+def test_ivf_topk_subset_of_brute_and_assignment_total(spark):
+    vecs = [(i, [((i * 37 + d * 11) % 17 - 8) / 8.0 for d in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    assigned, cents = ann.ivf_cells(df, "vec_id", "embedding", n_cells=8)
+    assert [cid for cid, _ in cents] == list(range(8))  # deterministic sample
+    got = rows(assigned, "vec_id")
+    assert len(got) == 60 and all(r["ivf_cell"] in range(8) for r in got)
+    # a centroid belongs to its own cell (cos=1 beats everything, id tiebreak)
+    for r in got[:8]:
+        assert r["ivf_cell"] == r["vec_id"]
+
+    q = vecs[0][1]
+    brute = {r["vec_id"]: r["cosine"] for r in rows(ann.brute_topk(df, q, "vec_id", "embedding", k=60))}
+    approx = rows(ann.ivf_topk(df, q, "vec_id", "embedding", k=10, n_cells=8, nprobe=2))
+    assert 0 < len(approx) <= 10
+    for r in approx:  # exact rerank: cosines are the true ones
+        assert r["cosine"] == brute[r["vec_id"]]
+    # the query IS vector 0 = centroid 0 → its cell is always probed
+    assert approx[0]["vec_id"] == 0 and approx[0]["cosine"] == 1.0
+
+
 def test_text_stats_golden(spark):
     df = spark.createDataFrame(
         [(1, "The cat is on the mat!"), (2, ""), (3, "der die und das ist")],
