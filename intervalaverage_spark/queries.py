@@ -287,6 +287,112 @@ SELECT custkey, COALESCE(max(ov), FALSE) AS any_overlap FROM fl GROUP BY custkey
 """
 
 
+def q_interval_average_events_daily_2v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-value-var simultaneity (reference: one pass computes EVERY
+    value column's weighted mean, nobs, maxgap and mask independently —
+    R/intervalaverage_functions.R value_vars loop): second value is
+    half-scaled with a deterministic NA pattern (null when the hour ≡ 0
+    mod 5), so nobs/maxgap/mask must DIVERGE between the two columns."""
+    xe = events_x(spark, sf_dir)
+    x = xe.select(
+        "user_id", "start", "end",
+        F.col("v").cast(_VALUE_DEC).alias("value"),
+        F.when(F.col("start") % 5 != 0, F.col("v") * 0.5)
+        .cast(_VALUE_DEC).alias("value2"),
+    )
+    y = _events_grid(spark, sf_dir, 24)
+    out = interval_average(
+        x, y, ("start", "end"), ["value", "value2"], ["user_id"],
+        required_percentage=50, validate=False,
+        strategy="bucket", bucket_width=168,
+    )
+    return out.select(
+        "user_id", "start", "end",
+        F.round(F.col("value"), 6).alias("value"),
+        F.round(F.col("value2"), 6).alias("value2"),
+        "yduration", "xduration",
+        "nobs_value", "nobs_value2", "maxgap_value", "maxgap_value2",
+    )
+
+
+def _ia_2v_oracle_sql(width: int = 24, rp: float = 50.0) -> str:
+    per_v = []
+    for name, expr in (("value", "CAST(v AS DECIMAL(26,12))"),
+                       ("value2", "CASE WHEN xs % 5 <> 0 THEN CAST(v * 0.5 AS DECIMAL(26,12)) END")):
+        per_v.append((name, expr))
+    x2_cols = ", ".join(f"{expr} AS __{n}" for n, expr in per_v)
+    agg_cols = ", ".join(
+        f"SUM(__{n} * CAST(oe - os + 1 AS DECIMAL(10,0))) AS swv_{n}, "
+        f"CAST(SUM(CASE WHEN __{n} IS NOT NULL THEN oe - os + 1 END) AS BIGINT) AS nobs_{n}"
+        for n, _ in per_v
+    )
+    gap_ctes = ",\n".join(
+        f"""cov_{n} AS (
+  SELECT DISTINCT gr.user_id, gr.ys, gr.ye, gr.t
+  FROM grid gr JOIN pairs p
+    ON p.user_id = gr.user_id AND p.ys = gr.ys AND p.ye = gr.ye
+   AND gr.t BETWEEN p.os AND p.oe AND p.__{n} IS NOT NULL
+),
+unc_{n} AS (
+  SELECT gr.user_id, gr.ys, gr.ye, gr.t,
+         gr.t - ROW_NUMBER() OVER (PARTITION BY gr.user_id, gr.ys, gr.ye ORDER BY gr.t) AS grp
+  FROM grid gr ANTI JOIN cov_{n} USING (user_id, ys, ye, t)
+),
+gaps_{n} AS (
+  SELECT user_id, ys, ye, MAX(cnt) AS maxgap
+  FROM (SELECT user_id, ys, ye, grp, COUNT(*) AS cnt FROM unc_{n} GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2, 3
+)"""
+        for n, _ in per_v
+    )
+    val_cols = ",\n       ".join(
+        f"ROUND(CASE WHEN COALESCE(a.nobs_{n}, 0) > 0 AND "
+        f"100.0 * a.nobs_{n} / (y.ye - y.ys + 1) >= {rp} "
+        f"THEN CAST(a.swv_{n} AS DOUBLE) / a.nobs_{n} END, 6) AS {n}"
+        for n, _ in per_v
+    )
+    tail_cols = ",\n       ".join(
+        f"COALESCE(a.nobs_{n}, 0) AS nobs_{n}" for n, _ in per_v
+    ) + ",\n       " + ",\n       ".join(
+        f"COALESCE(g_{n}.maxgap, 0) AS maxgap_{n}" for n, _ in per_v
+    )
+    gap_joins = "\n".join(
+        f"LEFT JOIN gaps_{n} g_{n} ON g_{n}.user_id = y.user_id "
+        f"AND g_{n}.ys = y.ys AND g_{n}.ye = y.ye" for n, _ in per_v
+    )
+    return f"""
+WITH {X_EVENTS_SQL},
+x2 AS (SELECT user_id, xs, xe, {x2_cols} FROM x),
+b AS (SELECT CAST(floor(min(xs)/{width}.0) AS BIGINT) AS k0,
+             CAST(floor(max(xe)/{width}.0) AS BIGINT) AS k1 FROM x2),
+y AS (
+  SELECT user_id, {width}*k AS ys, {width}*k + {width} - 1 AS ye
+  FROM (SELECT DISTINCT user_id FROM x2), b, (SELECT UNNEST(generate_series(k0, k1)) AS k FROM b) ks
+),
+pairs AS (
+  SELECT y.user_id, y.ys, y.ye,
+         GREATEST(x2.xs, y.ys) AS os, LEAST(x2.xe, y.ye) AS oe,
+         {", ".join(f"x2.__{n}" for n, _ in per_v)}
+  FROM y JOIN x2 ON x2.user_id = y.user_id AND x2.xe >= y.ys AND x2.xs <= y.ye
+),
+agg AS (
+  SELECT user_id, ys, ye,
+         CAST(SUM(oe - os + 1) AS BIGINT) AS xduration,
+         {agg_cols}
+  FROM pairs GROUP BY 1, 2, 3
+),
+grid AS (SELECT user_id, ys, ye, UNNEST(generate_series(ys, ye)) AS t FROM y),
+{gap_ctes}
+SELECT y.user_id, y.ys AS start, y.ye AS "end",
+       {val_cols},
+       y.ye - y.ys + 1 AS yduration,
+       COALESCE(a.xduration, 0) AS xduration,
+       {tail_cols}
+FROM y LEFT JOIN agg a ON a.user_id = y.user_id AND a.ys = y.ys AND a.ye = y.ye
+{gap_joins}
+"""
+
+
 # --------------------------------------------------- DATE-domain operators
 # The reference exercises IDate intervals heavily
 # (test-intervalaverage_functions.R:454-546); these entries run the
@@ -669,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "interval_average_events_daily": q_interval_average_events_daily,
+        "interval_average_events_daily_2v": q_interval_average_events_daily_2v,
         "tier_rollup_1d_events": q_tier_rollup_events(24, None),
         "tier_rollup_30d_events_cascade": q_tier_rollup_events(720, cascade_from=24),
         "interval_intersect_events_daily": q_interval_intersect_events_daily,
@@ -693,6 +800,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **qp.oracle_sql(),
         "interval_average_events_daily": _ia_oracle_sql(24, 50.0, sparse=False),
+        "interval_average_events_daily_2v": _ia_2v_oracle_sql(24, 50.0),
         "tier_rollup_1d_events": _ia_oracle_sql(24, 0.0, sparse=True),
         "tier_rollup_30d_events_cascade": _ia_oracle_sql(720, 0.0, sparse=True),
         "interval_intersect_events_daily": INTERSECT_EVENTS_SQL,
