@@ -142,6 +142,48 @@ def test_step3_pre_enrollment_year_average(spark, vignette_tables):
     assert fast.filter(F.col("no2").isNull()).count() >= 1
 
 
+def test_advanced_vignette_overlap_resolution(spark):
+    """Advanced-vignette chain (vignettes/intervalaverage-advanced.Rmd:
+    195-245): PARTIALLY overlapping exposure intervals → isolateoverlaps →
+    mean per isolated fragment (duplicate resolution) → intervalaverage on
+    the now non-overlapping table. Two value vars throughout."""
+    from intervalaverage_spark.operators.isolate import isolate_overlaps
+    from intervalaverage_spark.operators.overlap import is_overlapping
+
+    rows_in = []
+    for loc in (1, 2, 3):
+        for k in range(4):  # weekly series + a 3-day-shifted overlapping twin
+            s = 10958 + 7 * k
+            rows_in.append((loc, s, s + 6, 15.0 + loc + k * 0.5, 25.0 + k))
+            rows_in.append((loc, s + 3, s + 9, 14.0 + loc - k * 0.25, 26.5 - k))
+    x = spark.createDataFrame(
+        rows_in, "location_id long, start long, end long, pm25 double, no2 double"
+    )
+    assert is_overlapping(x, ("start", "end"), ["location_id"])
+
+    iso = isolate_overlaps(
+        x, ("start", "end"), ["location_id"], interval_vars_out=("start2", "end2"),
+        validate=False,
+    )
+    resolved = (
+        iso.groupBy("location_id", "start2", "end2")
+        .agg(F.avg("pm25").alias("pm25"), F.avg("no2").alias("no2"))
+        .withColumnsRenamed({"start2": "start", "end2": "end"})
+    )
+    assert not is_overlapping(resolved, ("start", "end"), ["location_id"])
+
+    y = spark.createDataFrame(
+        [(loc, 10958 + 10 * j, 10958 + 10 * j + 9) for loc in (1, 2, 3) for j in range(4)],
+        "location_id long, start long, end long",
+    )
+    kw = dict(interval_vars=("start", "end"), value_vars=["pm25", "no2"],
+              group_vars=["location_id"], required_percentage=50)
+    fast = interval_average(resolved, y, **kw)
+    slow = interval_average_slow(resolved, y, **kw)
+    _assert_frames_equal(fast, slow, float_cols=("pm25", "no2"))
+    assert fast.filter(F.col("pm25").isNotNull()).count() > 0
+
+
 def test_step4_cj_annual_averages(spark, vignette_tables):
     no2, address_history, _ = vignette_tables
     by_person = interval_intersect(
