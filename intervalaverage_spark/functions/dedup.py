@@ -261,6 +261,62 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------------ duplicate clusters
+
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id1", "id2"),
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every doc →
+    (canonical_id = min doc id in its component, cluster_size). The step a
+    dedup pipeline actually needs after pair generation — keep one doc per
+    cluster, drop the rest.
+
+    Spark-first iterative min-label propagation: labels start as the id,
+    each round every node takes the min of its own and its neighbors'
+    labels, until a round changes nothing. Rounds = component diameter
+    (duplicate clusters are dense, so a handful); each round is one
+    equi-join + one groupBy, all JVM. ``localCheckpoint`` truncates the
+    per-round lineage so plans stay O(1). The convergence probe is a
+    bounded ``limit(1).count()`` — metadata, not a data read. (Compare
+    GraphX/GraphFrames connected components — same algorithm family,
+    expressed on DataFrames so Catalyst/AQE handle the physical plan.)
+    Docs with no pairs stay their own singleton cluster."""
+    a, b = pair_cols
+    e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select(F.col(id_col).alias("n"), F.col(id_col).alias("lab"))
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("n", "src"), "src")
+            .select(F.col("dst").alias("n"), "lab")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("n").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("nw")
+            .join(labels.alias("old"), "n")
+            .filter(F.col("nw.lab") != F.col("old.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("n").alias(id_col),
+        F.col("lab").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
 # --------------------------------------------- embedding near-duplicates
 
 def embedding_neardup_pairs(

@@ -248,6 +248,38 @@ WITH p AS (
 SELECT id1, id2, ROUND(c, 6) AS cosine FROM p WHERE ROUND(c, 6) >= 0.4
 """
 
+def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS (not just pairs): connected components over the
+    MinHash-LSH near-dup graph — every doc with its canonical id and
+    cluster size. Iterative min-label propagation on the Spark side; the
+    oracle computes the same fixpoint with a recursive CTE."""
+    from intervalaverage_spark.functions.dedup import dedup_clusters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16, bands=4,
+                              threshold=0.5)
+    return dedup_clusters(d.select("doc_id"), pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    inner = _minhash_lsh_sql()
+    return f"""
+WITH RECURSIVE
+p AS (SELECT id1, id2 FROM ({inner})),
+e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+walk(n, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN e ON e.a = w.n
+),
+comp AS (SELECT n AS doc_id, MIN(lab) AS canonical_id FROM walk GROUP BY n)
+SELECT c.doc_id, c.canonical_id, CAST(s.cnt AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT canonical_id, COUNT(*) AS cnt FROM comp GROUP BY 1) s
+  USING (canonical_id)
+"""
+
+
 def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path of embedding near-dup: SRP-bucket blocking (one
     4-plane band → 16 blocks) so the self-join is per-block instead of
@@ -415,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": q_text_stats_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
@@ -429,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats_documents": _text_stats_sql(),
         "ngram_jaccard_documents": NGRAM_JACCARD_SQL,
         "minhash_lsh_documents": _minhash_lsh_sql(),
+        "dedup_clusters_documents": _dedup_clusters_sql(),
         "simhash_documents": _simhash_sql(),
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "embedding_neardup_blocked": _neardup_blocked_sql(),

@@ -135,6 +135,28 @@ def test_srp_topk_subset_of_brute(spark):
     assert approx[0]["vec_id"] == 0 and approx[0]["cosine"] == 1.0
 
 
+def test_dedup_clusters_chain_and_singletons(spark):
+    """A 5-hop chain needs multiple propagation rounds; isolated nodes
+    stay singletons; two separate components keep distinct canonicals."""
+    from intervalaverage_spark.functions.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5-6 (built high-to-low so min-label must travel),
+        # plus component {8, 9}
+        [(5, 6), (4, 5), (3, 4), (2, 3), (1, 2), (8, 9)],
+        ["id1", "id2"],
+    )
+    got = {r["doc_id"]: r for r in dedup_clusters(nodes, pairs).collect()}
+    assert len(got) == 10
+    for n in range(1, 7):
+        assert (got[n]["canonical_id"], got[n]["cluster_size"]) == (1, 6)
+    for n in (8, 9):
+        assert (got[n]["canonical_id"], got[n]["cluster_size"]) == (8, 2)
+    for n in (7, 10):
+        assert (got[n]["canonical_id"], got[n]["cluster_size"]) == (n, 1)
+
+
 def test_ivf_topk_subset_of_brute_and_assignment_total(spark):
     vecs = [(i, [((i * 37 + d * 11) % 17 - 8) / 8.0 for d in range(16)]) for i in range(60)]
     df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
