@@ -216,7 +216,18 @@ def main() -> None:
         # region (probe: 4→8 efficiency 1.06), same 4× core ratio, same
         # plan; only parallelism varies.
         lo, hi = (int(c) for c in os.environ.get("IA_SCALE_CORES", "1,4").split(","))
-        res = {c: _run_once_subprocess(c, sf_dir, n_pages) for c in (lo, hi)}
+        # best-of-N fresh-JVM runs per level: the shared host injects
+        # ±25% interference invisible to the guest (see BASELINE.md
+        # variance note); interference only ever SLOWS a run, so the max
+        # approximates the uncontended machine at both levels symmetrically
+        reps = int(os.environ.get("IA_SCALE_REPS", "2"))
+        res = {
+            c: max(
+                (_run_once_subprocess(c, sf_dir, n_pages) for _ in range(reps)),
+                key=lambda r: r["rollup_points_per_sec"],
+            )
+            for c in (lo, hi)
+        }
         t_lo = res[lo]["rollup_points_per_sec"]
         t_hi = res[hi]["rollup_points_per_sec"]
         ratio = hi / lo
@@ -242,7 +253,9 @@ def main() -> None:
                 "contention-free region — the honest stand-in for executors "
                 "that each own their cores on a real cluster. Both levels "
                 f"run the IDENTICAL plan ({os.environ.get('IA_SP')} shuffle "
-                "partitions, fresh JVM per level, tier storage on tmpfs "
+                f"partitions, best of {reps} fresh-JVM runs per level — "
+                "shared-host interference only ever slows a run, see the "
+                "variance section — tier storage on tmpfs "
                 "because cluster storage bandwidth scales with executors "
                 "while this VM's single disk does not); only the thread "
                 "count varies.\n\n"
