@@ -248,6 +248,30 @@ WITH p AS (
 SELECT id1, id2, ROUND(c, 6) AS cosine FROM p WHERE ROUND(c, 6) >= 0.4
 """
 
+def q_shard_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing via the distributed prefix sum
+    (functions/sharding.py): docs in id order, ~2000 whitespace tokens per
+    shard. Exact integer math — the oracle is one SUM() OVER (ORDER BY)."""
+    from intervalaverage_spark.functions.sharding import assign_shards
+    from intervalaverage_spark.functions.textstats import tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = d.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tokens"))
+    return assign_shards(t, "doc_id", "n_tokens", shard_weight=2000)
+
+
+SHARD_ASSIGN_SQL = rf"""
+WITH {_TOKS_SQL},
+t AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+c AS (SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_weight
+      FROM t)
+SELECT doc_id, n_tokens, cum_weight,
+       CAST((cum_weight - n_tokens) // 2000 AS BIGINT) AS shard
+FROM c
+"""
+
+
 def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS (not just pairs): connected components over the
     MinHash-LSH near-dup graph — every doc with its canonical id and
@@ -448,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
+        "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
@@ -463,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": NGRAM_JACCARD_SQL,
         "minhash_lsh_documents": _minhash_lsh_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
+        "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
         "embedding_neardup_blocked": _neardup_blocked_sql(),

@@ -135,6 +135,28 @@ def test_srp_topk_subset_of_brute(spark):
     assert approx[0]["vec_id"] == 0 and approx[0]["cosine"] == 1.0
 
 
+def test_assign_shards_matches_serial_prefix_sum(spark):
+    """The distributed two-phase prefix sum must equal a serial cumsum in
+    id order, independent of partition layout; oversized docs keep one
+    shard (greedy never splits)."""
+    from intervalaverage_spark.functions.sharding import assign_shards
+
+    weights = [(i, (i * 37) % 90 + 1) for i in range(1, 201)]
+    weights[49] = (50, 5000)  # one doc far over the shard budget
+    df = spark.createDataFrame(weights, "doc_id long, n_tokens long")
+    for n_parts in (1, 7):
+        got = {
+            r["doc_id"]: (r["cum_weight"], r["shard"])
+            for r in assign_shards(df.repartition(n_parts), "doc_id", "n_tokens",
+                                   shard_weight=500).collect()
+        }
+        cum = 0
+        for i, w in weights:
+            exp_shard = cum // 500
+            cum += w
+            assert got[i] == (cum, exp_shard), (n_parts, i)
+
+
 def test_dedup_clusters_chain_and_singletons(spark):
     """A 5-hop chain needs multiple propagation rounds; isolated nodes
     stay singletons; two separate components keep distinct canonicals."""
