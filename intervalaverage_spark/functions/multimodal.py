@@ -149,18 +149,90 @@ def decode_media(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "id long, kind string, payload binary, width int, height int"
+SAMPLED_SCHEMA = "id long, kind string, payload binary, n_frames long, sample_rate int"
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image resize for ``kind='image/bmp'`` payloads: decode with the
+    pure-numpy codec, nearest-neighbor index remap, re-encode — all inside
+    one Arrow-batched ``mapInPandas`` (pair with :func:`size_buckets` +
+    a repartition on ``size_bucket`` to bound worker memory). Other kinds
+    raise NotImplementedError in the worker (PIL absent in container)."""
+    import numpy as np  # noqa: F811 — worker-side import
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from intervalaverage_spark.functions import codecs
+
+        for pdf in batches:
+            out_payload = []
+            for raw, kind in zip(pdf[payload_col], pdf["kind"]):
+                if kind != "image/bmp":
+                    raise NotImplementedError(
+                        f"resize for kind={kind!r} needs PIL — only image/bmp "
+                        "resizes natively in this container"
+                    )
+                px = codecs.decode_bmp(bytes(raw))
+                h0, w0 = px.shape[:2]
+                yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                out_payload.append(codecs.encode_bmp(px[yi][:, xi]))
+            yield pd.DataFrame(
+                {"id": pdf["id"], "kind": pdf["kind"], "payload": out_payload,
+                 "width": width, "height": height}
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def frame_sample_media(
+    df: DataFrame, every_n: int, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL frame sampling for ``kind='audio/wav'``: keep every Nth frame
+    (all channels), re-encode at rate/N — the audio analog of video frame
+    sampling, through the same mapInPandas plumbing. Video kinds raise
+    honestly (no container codec here)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from intervalaverage_spark.functions import codecs
+
+        for pdf in batches:
+            payloads, frames, rates = [], [], []
+            for raw, kind in zip(pdf[payload_col], pdf["kind"]):
+                if kind != "audio/wav":
+                    raise NotImplementedError(
+                        f"frame sampling for kind={kind!r} needs a video codec "
+                        "(av) — only audio/wav samples natively in this container"
+                    )
+                rate, _n_ch, x = codecs.decode_wav(bytes(raw))
+                kept = x[::every_n]
+                new_rate = max(rate // every_n, 1)
+                payloads.append(codecs.encode_wav(kept, new_rate))
+                frames.append(len(kept))
+                rates.append(new_rate)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "kind": pdf["kind"], "payload": payloads,
+                 "n_frames": frames, "sample_rate": rates}
+            )
+
+    return df.mapInPandas(run, schema=SAMPLED_SCHEMA)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: passes (payload, target dims) through the same
-    batch machinery; the pixel work is NotImplemented without codec libs."""
+    """Kept for the general-image case: resize beyond BMP needs PIL —
+    :func:`resize_media` is the real path for the natively-decodable
+    format."""
     raise NotImplementedError(
-        "resize needs an image codec (PIL) — not in this container. The "
-        "decode_media(fake='deterministic') path exercises the identical "
-        "mapInPandas plumbing (schema, batching, partitioning)."
+        "resize needs an image codec (PIL) for non-BMP kinds — use "
+        "resize_media for image/bmp payloads (pure-numpy, real pixels)."
     )
 
 
 def frame_sample_stub(df: DataFrame, every_n: int) -> DataFrame:
-    """Video frame sampling plumbing stub — see :func:`resize_stub`."""
+    """Video frame sampling stub — see :func:`frame_sample_media` for the
+    real audio-frame path."""
     raise NotImplementedError(
         "frame sampling needs a video codec (av) — not in this container."
     )

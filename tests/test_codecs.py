@@ -56,6 +56,46 @@ def test_bmp_roundtrip_padding_and_orientation():
         decode_bmp(b"notabmp")
 
 
+def test_resize_and_frame_sample_real_paths(spark):
+    from intervalaverage_spark.functions.multimodal import (
+        frame_sample_media,
+        resize_media,
+    )
+
+    # 4x6 image with a distinct quadrant pattern → 2x3 nearest-neighbor
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:2, :3] = 10
+    px[:2, 3:] = 20
+    px[2:, :3] = 30
+    px[2:, 3:] = 40
+    img = spark.createDataFrame(
+        [(1, "image/bmp", bytearray(encode_bmp(px)), {})],
+        "id long, kind string, payload binary, meta map<string,string>",
+    )
+    r = resize_media(img, width=3, height=2).first()
+    assert (r["width"], r["height"]) == (3, 2)
+    small = decode_bmp(bytes(r["payload"]))
+    assert small.shape == (2, 3, 3)
+    assert small[0, 0, 0] == 10 and small[1, 2, 0] == 40
+
+    x = np.linspace(-0.9, 0.9, 100)
+    wav = spark.createDataFrame(
+        [(2, "audio/wav", bytearray(encode_wav(x, 8000)), {})],
+        "id long, kind string, payload binary, meta map<string,string>",
+    )
+    s = frame_sample_media(wav, every_n=4).first()
+    assert (s["n_frames"], s["sample_rate"]) == (25, 2000)
+    rate, ch, y = decode_wav(bytes(s["payload"]))
+    assert rate == 2000 and y.shape == (25, 1)
+    assert np.max(np.abs(y[:, 0] - x[::4])) <= 2.0 / 32768.0
+
+    # wrong kinds raise through the worker
+    with pytest.raises(Exception, match="NotImplementedError|needs"):
+        resize_media(wav, 2, 2).collect()
+    with pytest.raises(Exception, match="NotImplementedError|needs"):
+        frame_sample_media(img, 2).collect()
+
+
 def test_decode_media_real_branch(spark):
     wav = encode_wav(np.full(100, 0.25), rate=44100)
     bmp = encode_bmp(np.full((2, 3, 3), [10, 20, 30], dtype=np.uint8))
