@@ -61,13 +61,14 @@ def main() -> None:
     add(
         "interval_average (bucketed range join, weekly buckets)",
         q.q_interval_average_events_daily(spark, sf),
-        must=["SortMergeJoin", "ReadSchema"],
+        must=["Join", "ReadSchema"],
         must_not=["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython",
                   "FlatMapGroupsInPandas", "ObjectHashAggregate"],
         note=(
             "The range join is manufactured into an equi-join on "
-            "(user_id, week-bucket) → SortMergeJoin; Catalyst would "
-            "otherwise post-filter ranges after a per-user join. The whole "
+            "(user_id, week-bucket): a hash/merge EQUI join (Catalyst "
+            "broadcasts the small x side at this sf; SMJ at scale) instead "
+            "of the BNLJ a raw non-equi join degenerates to. The whole "
             "operator — including the maxgap state, a window running-max "
             "sharing the groupBy's exchange — is JVM expressions: no "
             "Python of any kind, no collect_list ObjectHashAggregate "
@@ -115,6 +116,23 @@ def main() -> None:
         must_not=["BatchEvalPython"],
         note="groupBy(md5) combines map-side; shuffle carries one row per "
              "distinct hash per mapper, not per input row.",
+    )
+
+    # 5. shard assignment: the global running sum must NOT serialize
+    from intervalaverage_spark.queries_pipeline import q_shard_assign_documents
+
+    add(
+        "shard assignment (distributed prefix sum)",
+        q_shard_assign_documents(spark, sf),
+        must=["rangepartitioning"],
+        must_not=["Exchange SinglePartition", "BatchEvalPython"],
+        note=(
+            "A naive global cumsum is `Window.orderBy(id)` with no "
+            "partition key — Catalyst plans it as Exchange SinglePartition "
+            "(the whole table through ONE task). The two-phase prefix sum "
+            "keeps the window partitioned (range shuffle + per-partition "
+            "sort); the only driver-side step is one row per partition."
+        ),
     )
 
     sections.append(
