@@ -165,10 +165,23 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.size(shingles(text_col, n)).alias("sz"),
-        shingles(text_col, n).alias("shs"),
+    # bound the verify shuffle: only docs that appear in ≥1 candidate pair
+    # need their (wide) shingle array built and shuffled — semi-join the
+    # corpus to candidate ids FIRST, so the array-bearing exchange carries
+    # O(candidate docs), not O(corpus). At 10^9 docs the candidate set is
+    # orders of magnitude smaller than the table.
+    cand_ids = (
+        cand.select(F.col("id1").alias("cid"))
+        .unionByName(cand.select(F.col("id2").alias("cid")))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(shingles(text_col, n)).alias("sz"),
+            shingles(text_col, n).alias("shs"),
+        )
     )
     verified = (
         cand.join(sh.withColumnsRenamed({"id": "id1", "sz": "sz1", "shs": "shs1"}), "id1")
@@ -284,13 +297,21 @@ def dedup_clusters(
     bounded ``limit(1).count()`` — metadata, not a data read. (Compare
     GraphX/GraphFrames connected components — same algorithm family,
     expressed on DataFrames so Catalyst/AQE handle the physical plan.)
-    Docs with no pairs stay their own singleton cluster."""
+    Docs with no pairs stay their own singleton cluster.
+
+    Non-convergence is an ERROR, never silence: a component whose diameter
+    exceeds ``max_iter`` (a pathological near-dup chain) would otherwise
+    return partially-propagated labels — wrong canonical_id/cluster_size
+    with no signal. Raise ``max_iter`` for long chains (or pre-shorten
+    them with pointer doubling); duplicate clusters in practice are dense,
+    so the default converges in a handful of rounds."""
     a, b = pair_cols
     e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     labels = nodes.select(F.col(id_col).alias("n"), F.col(id_col).alias("lab"))
+    changed = -1
     for _ in range(max_iter):
         prop = (
             edges.join(labels.withColumnRenamed("n", "src"), "src")
@@ -309,6 +330,12 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in max_iter={max_iter} rounds "
+            "(a component's diameter exceeds the round budget); labels would "
+            "be partially propagated — raise max_iter"
+        )
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lab").select(
         F.col("n").alias(id_col),

@@ -55,20 +55,40 @@ def size_buckets(df: DataFrame, payload_col: str = "payload", bucket_bytes: int 
     )
 
 
+#: 31^k mod 2^31 for k = 0..1023 — precomputed powers for the vectorized
+#: rolling checksum (products ≤ 255·2^31 < 2^39 and 1024-term sums < 2^49,
+#: both exact in uint64)
+_POW31 = np.empty(1024, dtype=np.uint64)
+_POW31[0] = 1
+for _k in range(1, 1024):
+    _POW31[_k] = (_POW31[_k - 1] * np.uint64(31)) % np.uint64(1 << 31)
+
+
+def _checksum(b: bytes) -> int:
+    """Rolling polynomial checksum over the first 1 KiB — numpy-vectorized
+    Horner expansion: c = Σ b[i]·31^(m−1−i) mod 2^31 (identical to the
+    sequential ``c = c*31 + byte`` fold)."""
+    arr = np.frombuffer(b[:1024], dtype=np.uint8).astype(np.uint64)
+    m = len(arr)
+    if m == 0:
+        return 0
+    return int((arr * _POW31[m - 1 :: -1]).sum() % np.uint64(1 << 31))
+
+
 def _fake_features(payload: bytes, dims: int = 8) -> list[float]:
     """Deterministic stand-in for an embedding/feature extractor: dims
-    byte-histogram moments of the payload. Pure arithmetic — the DuckDB
-    oracle can reproduce n_bytes/checksum/head; `feat` is rows-only."""
+    byte-histogram moments of the payload, numpy-vectorized (bincount over
+    index-mod-dims strides of the first 256 bytes). Pure arithmetic — the
+    DuckDB oracle can reproduce n_bytes/checksum/head; `feat` is
+    rows-only."""
     n = len(payload)
     if n == 0:
         return [0.0] * dims
-    out = []
-    for d in range(dims):
-        s = 0
-        for i in range(d, min(n, 256), dims):
-            s += payload[i]
-        out.append(float(s % 997) / 997.0)
-    return out
+    arr = np.frombuffer(payload[:256], dtype=np.uint8)
+    sums = np.bincount(
+        np.arange(len(arr)) % dims, weights=arr, minlength=dims
+    )  # ≤ 256·255: exact in float64
+    return [float(int(s) % 997) / 997.0 for s in sums]
 
 
 def _real_features(kind: str, payload: bytes, dims: int = 8) -> list[float]:
@@ -124,12 +144,7 @@ def decode_media(
             for raw, kind in zip(payloads, pdf["kind"]):
                 b = bytes(raw) if raw is not None else b""
                 n_bytes.append(len(b))
-                # rolling polynomial checksum over the first 1 KiB — cheap,
-                # deterministic, SQL-replicable
-                c = 0
-                for by in b[:1024]:
-                    c = (c * 31 + by) % (1 << 31)
-                checksum.append(c)
+                checksum.append(_checksum(b))
                 head.append(b[:8].hex())
                 if fake == "deterministic":
                     feats.append(_fake_features(b, feat_dims))

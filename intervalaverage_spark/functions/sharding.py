@@ -18,6 +18,16 @@ The output is a pure function of the data (ids and weights): the sampled
 range boundaries affect only which task computes a row, never its global
 cumulative sum. Integer weights → exact, engine-portable (the driver
 query's DuckDB oracle is a plain ``SUM() OVER (ORDER BY id)``).
+
+CORRECTNESS NOTE (the subtle trap): ``repartitionByRange`` SAMPLES its
+range boundaries per execution (RangePartitioner seeds from the RDD id),
+so the totals job and a later output action would otherwise see DIFFERENT
+``__pid`` assignments for rows near boundaries — silently wrong
+cum_weight. The partitioned frame is therefore eagerly materialized with
+``localCheckpoint`` BEFORE totals are collected: both the totals job and
+every downstream action read the same frozen partitioning. (On a real
+cluster, swap localCheckpoint for a reliable checkpoint/parquet write of
+the partitioned frame — same invariant, durable storage.)
 """
 
 from __future__ import annotations
@@ -45,7 +55,9 @@ def assign_shards(
         "__pid", F.spark_partition_id()
     )
     wspec = Window.partitionBy("__pid").orderBy(id_col)
-    base = part.withColumn("__cs", F.sum(w).over(wspec))
+    # freeze the sampled range partitioning (module docstring: boundaries
+    # re-sample per execution) so totals and output read identical __pid
+    base = part.withColumn("__cs", F.sum(w).over(wspec)).localCheckpoint()
     # one row per partition — bounded driver-side metadata, not a data read
     totals = {
         r["__pid"]: r["__t"]

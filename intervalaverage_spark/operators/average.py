@@ -49,14 +49,18 @@ from __future__ import annotations
 
 import datetime
 import warnings
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from intervalaverage_spark.plans.rangejoin import range_join
-from intervalaverage_spark.validation import check_intervals, check_schema
+from intervalaverage_spark.validation import (
+    IntervalSchemaError,
+    check_intervals,
+    check_schema,
+)
 
 _EPOCH = "1970-01-01"
 
@@ -90,16 +94,24 @@ def _wv_term(w: Column, v: str, dt: T.DataType) -> Column:
 
     DecimalType values accumulate EXACTLY: weights are integers, so
     ``Σ decimal(w·v)`` is order-free and engine-portable (the determinism
-    contract the driver-compare queries rely on). Precision must leave
-    room for a 10-digit weight: p ≤ 27 (product is decimal(38, s), exact;
-    ANSI mode turns a genuine Σ overflow into an error, not silence)."""
+    contract the driver-compare queries rely on).
+
+    Weight-magnitude contract: the weight (interval length) is cast to the
+    WIDEST decimal the value precision leaves room for —
+    ``decimal(min(37 − p, 19), 0)`` — so the product stays an exact
+    decimal(38, s) (Spark multiply precision = p1 + p2 + 1). A value
+    column of precision p therefore supports interval lengths up to
+    10^min(37−p, 19) − 1 time units (p ≤ 18 covers any 64-bit length;
+    p = 27, the max, still allows 10^10 − 1). Beyond that bound ANSI mode
+    raises a cast error — loud, never a silently dropped term."""
     if isinstance(dt, T.DecimalType):
         if dt.precision > 27:
             raise ValueError(
                 f"decimal value columns need precision <= 27 (got {dt}); "
                 "rescale so w*v fits decimal(38, s) exactly"
             )
-        return (F.col(v) * w.cast("decimal(10,0)")).cast(f"decimal(38,{dt.scale})")
+        wprec = min(37 - dt.precision, 19)
+        return (F.col(v) * w.cast(f"decimal({wprec},0)")).cast(f"decimal(38,{dt.scale})")
     return w * F.col(v)
 
 
@@ -125,21 +137,36 @@ def interval_average(
     bucket_width: int | None = None,
     salt: int | None = None,
     keep_sums: bool = False,
+    sort: bool = True,
     verbose: bool = False,
 ) -> DataFrame:
     """Time-weighted average of x's value columns onto y's intervals.
 
     ``interval_vars=(start,end)`` must name the same columns in x and y
     (named x→y mapping is forbidden for this operator, reference
-    R/intervalaverage_functions.R:233-234). Returns one row per deduped
-    y row with columns ``(*group_vars, *interval_vars, *value_vars,
-    yduration, xduration, nobs_*, xminstart, xmaxend, maxgap_*)``.
+    R/intervalaverage_functions.R:233-234 — a Mapping input raises
+    IntervalSchemaError; named mappings are intersect-only). Returns one
+    row per deduped y row with columns ``(*group_vars, *interval_vars,
+    *value_vars, yduration, xduration, nobs_*, xminstart, xmaxend,
+    maxgap_*)``.
 
     ``keep_sums`` appends the raw ``sum_wv_<v>`` numerators (exact when v
     is DecimalType) — the mergeable state a caller needs to re-derive or
     re-round the mean without float ambiguity, and what the tier cascade
     stores (operators/tiers.py state schema).
+
+    ``sort=True`` (default) orders the output by (groups, interval) for
+    reference key-order parity; ``sort=False`` skips the final global
+    range-exchange + sort — use it whenever downstream is order-insensitive
+    (writes, joins, aggregations): at scale that exchange is a full extra
+    pass over the result.
     """
+    if isinstance(interval_vars, Mapping):
+        raise IntervalSchemaError(
+            "interval_vars must be an unnamed (start, end) pair for "
+            "interval_average — named x→y interval mappings are "
+            "intersect-only (reference R/intervalaverage_functions.R:233-234)"
+        )
     group_vars = list(group_vars)
     value_vars = list(value_vars)
     iv = list(interval_vars)
@@ -167,14 +194,22 @@ def interval_average(
         )
 
     xp = _prep(x, iv, "__ia_xs", "__ia_xe", [*group_vars, *value_vars], x_dates)
-    yp = _prep(y, iv, "__ia_ys", "__ia_ye", group_vars, y_dates).dropDuplicates(
-        [*group_vars, "__ia_ys", "__ia_ye"]
-    )
+    yp_all = _prep(y, iv, "__ia_ys", "__ia_ye", group_vars, y_dates)
+    yp = yp_all.dropDuplicates([*group_vars, "__ia_ys", "__ia_ye"])
     if validate:
-        n_y, n_yd = y.count(), yp.count()
-        if n_yd < n_y:
+        # ONE aggregation job for the dup warning (count + distinct-count
+        # fused; the struct keeps null group keys countable — bare
+        # count_distinct skips any-null rows)
+        counts = yp_all.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(
+                F.struct(*[F.col(c) for c in (*group_vars, "__ia_ys", "__ia_ye")])
+            ).alias("nd"),
+        ).first()
+        if counts["nd"] < counts["n"]:
             warnings.warn(
-                f"y contained {n_y - n_yd} duplicate rows; duplicates removed "
+                f"y contained {counts['n'] - counts['nd']} duplicate rows; "
+                "duplicates removed "
                 "(reference: R/intervalaverage_functions.R:315-322)",
                 stacklevel=2,
             )
@@ -296,7 +331,8 @@ def interval_average(
     if keep_sums:
         out_cols += [F.col(f"__ia_swv_{v}").alias(f"sum_wv_{v}") for v in value_vars]
 
-    return joined.select(*out_cols).orderBy(*group_vars, *iv)
+    out = joined.select(*out_cols)
+    return out.orderBy(*group_vars, *iv) if sort else out
 
 
 def interval_average_slow(

@@ -32,12 +32,15 @@ def interval_intersect(
     strategy: str = "auto",
     bucket_width: int | None = None,
     salt: int | None = None,
+    sort: bool = True,
     verbose: bool = False,
 ) -> DataFrame:
     """Inner range join + clip. Output columns: ``(*group_vars(y names),
     *interval_vars_out, *other x cols, *other y cols)``. Name collisions
     between non-key x and y columns must be resolved by the caller
-    (the reference errors likewise via data.table join rules)."""
+    (the reference errors likewise via data.table join rules).
+    ``sort=False`` skips the final reference-parity orderBy (one whole
+    extra range-exchange + sort at scale) for order-insensitive callers."""
     if isinstance(interval_vars, Mapping):
         x_iv = list(interval_vars.keys())
         y_iv = list(interval_vars.values())
@@ -87,10 +90,11 @@ def interval_intersect(
     clip_e = F.least(F.col("__ii_xe"), F.col("__ii_ye"))
     if x_dates:
         clip_s, clip_e = _from_int_days(clip_s), _from_int_days(clip_e)
-    return pairs.select(
+    out = pairs.select(
         *y_gv,
         clip_s.alias(out_s),
         clip_e.alias(out_e),
         *x_rest,
         *y_rest,
-    ).orderBy(*y_gv, out_s, out_e)
+    )
+    return out.orderBy(*y_gv, out_s, out_e) if sort else out

@@ -36,10 +36,13 @@ def isolate_overlaps(
     validate: bool = True,
     strategy: str = "auto",
     bucket_width: int | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Returns ``(*group_vars, interval_vars_out[0], interval_vars_out[1],
     *original interval_vars, *other x columns)`` — one row per (fragment,
-    covering source row), sorted like the reference (:818-826)."""
+    covering source row), sorted like the reference (:818-826);
+    ``sort=False`` drops that final global sort for order-insensitive
+    callers (saves a full range-exchange pass at scale)."""
     iv = list(interval_vars)
     gv = list(group_vars)
     out_s, out_e = interval_vars_out
@@ -97,6 +100,7 @@ def isolate_overlaps(
         st = x.schema[iv[0]].dataType.simpleString()
         et = x.schema[iv[1]].dataType.simpleString()
         fs, fe, s0, e0 = fs.cast(st), fe.cast(et), s0.cast(st), e0.cast(et)
-    return joined.select(
+    out = joined.select(
         *gv, fs.alias(out_s), fe.alias(out_e), s0.alias(iv[0]), e0.alias(iv[1]), *rest
-    ).orderBy(*gv, out_s, out_e, iv[0], iv[1])
+    )
+    return out.orderBy(*gv, out_s, out_e, iv[0], iv[1]) if sort else out

@@ -177,6 +177,7 @@ def q_interval_average_events_daily(spark: SparkSession, sf_dir: str) -> DataFra
         x, y, ("start", "end"), ["value"], ["user_id"],
         required_percentage=50, validate=False,
         strategy="bucket", bucket_width=168,
+        sort=False,  # driver compare is order-insensitive — skip the sort pass
     )
     return _points_select(out)
 
@@ -202,7 +203,7 @@ def q_interval_intersect_events_daily(spark: SparkSession, sf_dir: str) -> DataF
     y = _events_grid(spark, sf_dir, 24).withColumnsRenamed({"start": "ws", "end": "we"})
     out = interval_intersect(
         x, y, {"start": "ws", "end": "we"}, group_vars=["user_id"],
-        validate=False, strategy="bucket", bucket_width=168,
+        validate=False, strategy="bucket", bucket_width=168, sort=False,
     )
     return out.select("user_id", "start", "end", F.round(F.col("v"), 6).alias("v"))
 
@@ -243,7 +244,7 @@ def orders_x(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_isolate_overlaps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = orders_x(spark, sf_dir)
     out = isolate_overlaps(x, ("s", "e"), ["custkey"], interval_vars_out=("start", "end"),
-                           validate=False)
+                           validate=False, sort=False)
     return out.select("custkey", "start", "end", F.col("s").alias("s0"), F.col("e").alias("e0"))
 
 
@@ -304,7 +305,7 @@ def q_interval_average_events_daily_2v(spark: SparkSession, sf_dir: str) -> Data
     out = interval_average(
         x, y, ("start", "end"), ["value", "value2"], ["user_id"],
         required_percentage=50, validate=False,
-        strategy="bucket", bucket_width=168,
+        strategy="bucket", bucket_width=168, sort=False,
     )
     return out.select(
         "user_id", "start", "end",
@@ -471,7 +472,7 @@ def q_interval_average_orders_dates(spark: SparkSession, sf_dir: str) -> DataFra
         x, y, ("start", "end"), ["price"], ["custkey"],
         required_percentage=25, validate=False,
         strategy="bucket", bucket_width=2 * ORDERS_DATE_WIDTH,
-        keep_sums=True,
+        keep_sums=True, sort=False,
     )
     # integer half-up 6-dp mean (see _half_up_micro); the operator's own
     # `price` supplies the required_percentage mask via its nullness
@@ -567,6 +568,7 @@ def q_interval_intersect_orders_dates(spark: SparkSession, sf_dir: str) -> DataF
     out = interval_intersect(
         x, y, {"start": "ws", "end": "we"}, group_vars=["custkey"],
         validate=False, strategy="bucket", bucket_width=2 * ORDERS_DATE_WIDTH,
+        sort=False,
     )
     return out.select(
         "custkey", _iso("start").alias("start"), _iso("end").alias("end"),
@@ -697,7 +699,14 @@ def q_streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    # a False return means the availableNow stream is still mid-run — a
+    # truncated memory sink would compare as a SPURIOUS oracle mismatch
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_hourly_events: availableNow query did not finish "
+            "within 300s; refusing to compare a truncated sink"
+        )
     q.stop()
     return spark.table(name).select(
         "user_id", "ws", "we",

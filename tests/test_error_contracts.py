@@ -136,3 +136,29 @@ def test_verbose_diagnostics_api_parity(spark, xy, capsys):
 
     is_overlapping(x, ("start", "end"), ["g"], verbose=True)
     assert "lag-window" in capsys.readouterr().out
+
+
+def test_named_interval_vars_rejected(spark, xy):
+    """Named x→y interval mappings are intersect-only; interval_average
+    must REJECT a Mapping instead of silently iterating its keys
+    (reference errors at R/intervalaverage_functions.R:233-234)."""
+    x, y = xy
+    with pytest.raises(IntervalSchemaError, match="intersect-only"):
+        interval_average(x, y, {"start": "ws", "end": "we"}, ["v"], ["g"])
+
+
+def test_decimal_weight_width_adapts_to_value_precision(spark):
+    """_wv_term widens the weight cast to min(37−p, 19) digits: a
+    low-precision value column supports intervals far beyond the old
+    1e10-unit bound (ADVICE r2: nanosecond-domain lengths overflowed
+    decimal(10,0)). 12-digit weight × decimal(6,2) value must be exact."""
+    x = spark.createDataFrame(
+        [(1, 0, 10**12 - 1, "1.25")], "g long, start long, end long, raw string"
+    ).select("g", "start", "end", F.col("raw").cast("decimal(6,2)").alias("v"))
+    y = spark.createDataFrame([(1, 0, 10**12 - 1)], "g long, start long, end long")
+    row = interval_average(
+        x, y, ("start", "end"), ["v"], ["g"], validate=False, keep_sums=True
+    ).first()
+    assert row["nobs_v"] == 10**12
+    assert str(row["sum_wv_v"]) == "1250000000000.00"  # exact decimal Σw·v
+    assert row["v"] == 1.25

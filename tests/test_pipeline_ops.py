@@ -246,3 +246,47 @@ def test_multimodal_decode_plumbing(spark):
     # unsupported kinds raise at execution inside the worker
     with pytest.raises(Exception, match="NotImplementedError|real decoding"):
         decode_media(df, fake=None).collect()
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iter must raise loudly —
+    partially-propagated labels are wrong canonical_ids (ADVICE r2)."""
+    import pytest
+
+    from intervalaverage_spark.functions.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id1", "id2"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(nodes, chain, max_iter=2)
+    # and the same chain converges fine with budget for its diameter
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in dedup_clusters(nodes, chain, max_iter=10).collect()}
+    assert all(got[n] == 1 for n in range(1, 9))
+
+
+def test_checksum_and_fake_features_match_sequential_reference():
+    """The numpy-vectorized checksum/fake-feature paths must be
+    bit-identical to the sequential folds they replaced (r2 outputs)."""
+    from intervalaverage_spark.functions.multimodal import _checksum, _fake_features
+
+    payloads = [b"", b"\x00", bytes(range(256)) * 5, b"abc" * 700]
+    for b in payloads:
+        c = 0
+        for by in b[:1024]:
+            c = (c * 31 + by) % (1 << 31)
+        assert _checksum(b) == c, len(b)
+
+        n, dims = len(b), 8
+        if n == 0:
+            exp = [0.0] * dims
+        else:
+            exp = []
+            for d in range(dims):
+                s = 0
+                for i in range(d, min(n, 256), dims):
+                    s += b[i]
+                exp.append(float(s % 997) / 997.0)
+        assert _fake_features(b, 8) == exp, len(b)
