@@ -135,6 +135,38 @@ def main() -> None:
         ),
     )
 
+    # 6. IVF ANN over the partitioned layout: the probe must be a
+    # partition-pruned scan (nprobe directories listed, not the table)
+    from intervalaverage_spark.functions import ann
+    from intervalaverage_spark.queries_pipeline import IVF_CELLS, IVF_NPROBE
+
+    import tempfile
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qrow = e.orderBy("vec_id").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    assigned, cents = ann.ivf_cells(
+        e.filter(F.col("vec_id") != qrow["vec_id"]), "vec_id", "embedding",
+        n_cells=IVF_CELLS,
+    )
+    ivf_tmp = tempfile.mkdtemp(prefix="ia_plans_ivf_")
+    assigned.write.partitionBy("ivf_cell").mode("overwrite").parquet(ivf_tmp)
+    probes = ann.ivf_probe_cells(qv, cents, IVF_NPROBE)
+    pruned = spark.read.parquet(ivf_tmp).filter(F.col("ivf_cell").isin(probes))
+    add(
+        "ivf-pruned ANN probe (PartitionFilters on the cell layout)",
+        ann.brute_topk(pruned, qv, "vec_id", "embedding", k=10),
+        must=["PartitionFilters", "ivf_cell"],
+        must_not=["BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            f"Embeddings written partitionBy(ivf_cell) ({IVF_CELLS} cells); "
+            f"the probe reads ONLY the {IVF_NPROBE} nearest-cell directories "
+            "— the scan is sub-linear in the table by construction, not by "
+            "promise. Same rows as the in-memory IVF path "
+            "(driver CORRECTNESS row ann_ivf_pruned_topk_embeddings)."
+        ),
+    )
+
     sections.append(
         "## Notes\n\n"
         "- `FlatMapGroupsInPandas`/`MapInPandas` appear ONLY in the Gorilla "
@@ -144,7 +176,9 @@ def main() -> None:
         "round 2 the interval_average maxgap is pure JVM window state — "
         "no pandas anywhere in the relational operators.\n"
         "- Layout scans (plans/layout.py) carry `PartitionFilters` on "
-        "(d, p) — asserted in tests/test_layout.py.\n"
+        "(d, p) — asserted in tests/test_layout.py; ANN layouts "
+        "(ivf_cell / srp_b0) partition-prune likewise (section above + "
+        "tests/test_layout.py::test_ann_layouts_partition_prune).\n"
     )
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
     with open(out, "w") as f:

@@ -152,6 +152,22 @@ def ivf_cells(
     return df.withColumn("ivf_cell", F.greatest(*cands)["cid"]), cents
 
 
+def ivf_probe_cells(
+    query_vec: list[float], cents: list[tuple[int, list[float]]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` centroid ids nearest the query (cosine desc, id
+    tie-break) — the scan predicate of every IVF probe, shared by the
+    in-memory path (:func:`ivf_topk`) and the partition-pruned layout read
+    (write the assigned table ``partitionBy('ivf_cell')``, then
+    ``read.filter(ivf_cell.isin(ivf_probe_cells(...)))`` lists only these
+    nprobe directories — PartitionFilters, the sub-linear claim made
+    mechanical)."""
+    ranked = sorted(
+        cents, key=lambda c: (-round(_cos_py(query_vec, c[1]), 6), c[0])
+    )
+    return [cid for cid, _ in ranked[:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -166,10 +182,7 @@ def ivf_topk(
     by cosine inside them. Deterministic; recall < 1 by design (vectors
     whose cell isn't probed are missed — the nprobe knob)."""
     assigned, cents = ivf_cells(df, id_col, vec_col, n_cells)
-    ranked = sorted(
-        cents, key=lambda c: (-round(_cos_py(query_vec, c[1]), 6), c[0])
-    )
-    probes = [cid for cid, _ in ranked[:nprobe]]
+    probes = ivf_probe_cells(query_vec, cents, nprobe)
     return brute_topk(
         assigned.filter(F.col("ivf_cell").isin(probes)), query_vec, id_col, vec_col, k
     )

@@ -372,6 +372,31 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITION-PRUNED IVF read path, driver-oracled end to end:
+    assign cells, WRITE the embeddings table ``partitionBy('ivf_cell')``
+    (the layout-as-index step a 10^9-vector deployment does once at ingest),
+    then answer the probe by READING BACK with the nprobe cell predicate —
+    the scan lists only nprobe of the n_cells partition directories
+    (PartitionFilters asserted in BENCH/PLANS.md §ivf-pruned and
+    tests/test_layout.py). Same oracle as the in-memory IVF query, so the
+    write → prune → rerank loop must be exact."""
+    import tempfile
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = e.orderBy("vec_id").first()
+    qv = [float(x) for x in qrow["embedding"]]
+    assigned, cents = ann.ivf_cells(
+        e.filter(F.col("vec_id") != qrow["vec_id"]), "vec_id", "embedding",
+        n_cells=IVF_CELLS,
+    )
+    tmp = tempfile.mkdtemp(prefix="ia_ivf_layout_")
+    assigned.write.partitionBy("ivf_cell").mode("overwrite").parquet(tmp)
+    probes = ann.ivf_probe_cells(qv, cents, IVF_NPROBE)
+    pruned = spark.read.parquet(tmp).filter(F.col("ivf_cell").isin(probes))
+    return ann.brute_topk(pruned, qv, "vec_id", "embedding", k=10)
+
+
 def _ann_ivf_sql() -> str:
     # NOTE the query vector is EXCLUDED from the table before centroid
     # sampling (mirrors the Spark side, which filters first): centroids
@@ -478,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_blocked": q_embedding_neardup_blocked,
         "ann_srp_topk_embeddings": q_ann_srp_topk,
         "ann_ivf_topk_embeddings": q_ann_ivf_topk,
+        "ann_ivf_pruned_topk_embeddings": q_ann_ivf_pruned_topk,
         "multimodal_decode_documents": q_multimodal_decode,
     }
 
@@ -494,5 +520,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_blocked": _neardup_blocked_sql(),
         "ann_srp_topk_embeddings": _ann_srp_sql(),
         "ann_ivf_topk_embeddings": _ann_ivf_sql(),
+        # the pruned-layout read answers the SAME query as the in-memory
+        # IVF path — identical oracle; only the physical plan differs
+        # (PartitionFilters on ivf_cell, asserted in BENCH/PLANS.md)
+        "ann_ivf_pruned_topk_embeddings": _ann_ivf_sql(),
         "multimodal_decode_documents": MULTIMODAL_SQL,
     }

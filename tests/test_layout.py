@@ -81,3 +81,41 @@ def test_dynamic_overwrite_is_partition_scoped(spark, tier_path):
     write_tier(one.drop("d"), tier_path, n_buckets=4)  # rewrite bucket 1 only
     assert read_tier(spark, tier_path).count() == full_before
     assert read_tier(spark, tier_path, buckets=[1]).count() == n_one
+
+
+def test_ann_layouts_partition_prune(spark, tmp_path):
+    """The ANN layout-as-index story made mechanical: embeddings written
+    partitionBy(ivf_cell) / partitionBy(srp_b0) must answer probes with a
+    PartitionFilters scan (only the probed directories listed) and return
+    exactly the rows a post-filter of the full table returns."""
+    from intervalaverage_spark.functions import ann
+
+    vecs = [(i, [((i * 37 + d * 11) % 17 - 8) / 8.0 for d in range(16)])
+            for i in range(80)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = vecs[0][1]
+
+    # --- IVF layout
+    assigned, cents = ann.ivf_cells(df, "vec_id", "embedding", n_cells=8)
+    p_ivf = str(tmp_path / "ivf")
+    assigned.write.partitionBy("ivf_cell").mode("overwrite").parquet(p_ivf)
+    probes = ann.ivf_probe_cells(q, cents, nprobe=2)
+    pruned = spark.read.parquet(p_ivf).filter(F.col("ivf_cell").isin(probes))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    got = sorted(r["vec_id"] for r in pruned.collect())
+    exp = sorted(r["vec_id"] for r in assigned.filter(
+        F.col("ivf_cell").isin(probes)).collect())
+    assert got == exp and 0 < len(got) < len(vecs)
+
+    # --- SRP layout (band-0 bucket as the partition key)
+    eb = ann.with_srp_buckets(df, "embedding", dims=16, bands=1, planes=4)
+    p_srp = str(tmp_path / "srp")
+    eb.write.partitionBy("srp_b0").mode("overwrite").parquet(p_srp)
+    qb = ann.srp_bucket_py(q, band=0, planes=4)
+    pruned2 = spark.read.parquet(p_srp).filter(F.col("srp_b0") == qb)
+    plan2 = pruned2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan2 and "srp_b0" in plan2
+    got2 = sorted(r["vec_id"] for r in pruned2.collect())
+    exp2 = sorted(r["vec_id"] for r in eb.filter(F.col("srp_b0") == qb).collect())
+    assert got2 == exp2 and 0 < len(got2) < len(vecs)
