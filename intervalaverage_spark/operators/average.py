@@ -136,6 +136,7 @@ def interval_average(
     strategy: str = "auto",
     bucket_width: int | None = None,
     salt: int | None = None,
+    hot_threshold: int | None = None,
     keep_sums: bool = False,
     sort: bool = True,
     verbose: bool = False,
@@ -229,6 +230,7 @@ def interval_average(
         ("__ia_xs", "__ia_xe"), ("__ia_ys", "__ia_ye"),
         group_vars=dict(zip(xg, group_vars)),
         strategy=strategy, bucket_width=bucket_width, salt=salt,
+        hot_threshold=hot_threshold,
         how="right",
     ).drop(*xg)
 

@@ -32,6 +32,7 @@ def interval_intersect(
     strategy: str = "auto",
     bucket_width: int | None = None,
     salt: int | None = None,
+    hot_threshold: int | None = None,
     sort: bool = True,
     verbose: bool = False,
 ) -> DataFrame:
@@ -84,6 +85,7 @@ def interval_intersect(
         ("__ii_xs", "__ii_xe"), ("__ii_ys", "__ii_ye"),
         group_vars=dict(zip(xg, y_gv)),
         strategy=strategy, bucket_width=bucket_width, salt=salt,
+        hot_threshold=hot_threshold,
     ).drop(*xg)
 
     clip_s = F.greatest(F.col("__ii_xs"), F.col("__ii_ys"))

@@ -18,10 +18,19 @@ join is then a plain shuffled equi-join Catalyst handles with
 SortMergeJoin + AQE, and partition pruning applies on the bucket column.
 
 **Salting** — a hot group (hot domain in the north-star table) still lands
-on one reducer. Optional uniform salting spreads the x side across
-``salt`` sub-keys and replicates y rows across all of them.
+on one reducer. Two variants, same pair set (property-tested):
 
-All strategies return the identical pair set (property-tested).
+* uniform (``salt=k``): spread EVERY x row across k sub-keys, replicate
+  EVERY y row k×. Simple, but the y-side blow-up taxes all the cold keys
+  too — measured a net loss on this box (BENCH/NOTES.md) whenever skew is
+  mild enough for AQE's skew-join split to absorb.
+* hot-only (``salt=k, hot_threshold=t``): one lazy aggregate finds keys
+  with > t x rows; ONLY those keys are salted/replicated (flag attached
+  by broadcast join — the hot set is tiny by definition). Cold keys pay
+  nothing; the hot reducer splits k ways. This is the variant to reach
+  for when one domain holds a double-digit share of a 100 TB table and
+  AQE's in-partition splitting isn't enough (it can't split a single
+  key's sort group for the window-bearing consumers downstream).
 """
 
 from __future__ import annotations
@@ -68,6 +77,7 @@ def range_join(
     strategy: str = "auto",
     bucket_width: int | None = None,
     salt: int | None = None,
+    hot_threshold: int | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Join of every (x row, y row) pair whose closed intervals overlap
@@ -92,6 +102,10 @@ def range_join(
     - ``"auto"``: bucket when there are no group keys (BNLJ avoidance),
       else sortmerge (selective group keys are fine for SMJ; pass
       ``strategy="bucket"`` explicitly for low-cardinality/hot keys).
+
+    ``salt=k`` spreads hot reducers k ways; with ``hot_threshold=t`` only
+    group keys holding > t x rows are salted/replicated (module docstring —
+    the variant that wins when skew is real).
     """
     xs, xe = x_interval
     ys, ye = y_interval
@@ -103,11 +117,44 @@ def range_join(
     range_pred = (x[xe] >= y[ys]) & (x[xs] <= y[ye])
 
     if salt:
-        # deterministic spread of x rows; y replicated across all salts
-        x = x.withColumn(
-            "__ia_salt", F.pmod(F.xxhash64(*[F.col(c) for c in (xs, xe, *gmap)]), F.lit(salt))
-        )
-        y = y.withColumn("__ia_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        x_salt = F.pmod(F.xxhash64(*[F.col(c) for c in (xs, xe, *gmap)]), F.lit(salt))
+        if hot_threshold is not None:
+            # hot-key-only: salt/replicate ONLY keys whose x frequency
+            # exceeds the threshold. The hot set is attached by broadcast
+            # join (lazy aggregate — tiny by definition of "hot"); both
+            # sides agree on hotness per key, so the pair set is identical
+            # (null group keys never match the hot set → salt 0 both sides,
+            # consistent). Cold keys pay zero replication.
+            if not gmap:
+                raise ValueError("hot_threshold requires group keys")
+            xkeys, ykeys = list(gmap), list(gmap.values())
+            hot = (
+                x.groupBy(*xkeys)
+                .agg(F.count(F.lit(1)).alias("__ia_hcnt"))
+                .filter(F.col("__ia_hcnt") > hot_threshold)
+                .drop("__ia_hcnt")
+                .withColumn("__ia_hot", F.lit(True))
+            )
+            x = x.join(F.broadcast(hot), on=xkeys, how="left").withColumn(
+                "__ia_salt", F.when(F.col("__ia_hot"), x_salt).otherwise(F.lit(0))
+            ).drop("__ia_hot")
+            hot_y = hot
+            for gx, gy in gmap.items():
+                if gx != gy:
+                    hot_y = hot_y.withColumnRenamed(gx, gy)
+            y = y.join(F.broadcast(hot_y), on=ykeys, how="left").withColumn(
+                "__ia_salt",
+                F.explode(
+                    F.when(F.col("__ia_hot"), F.sequence(F.lit(0), F.lit(salt - 1)))
+                    .otherwise(F.array(F.lit(0)))
+                ),
+            ).drop("__ia_hot")
+        else:
+            # uniform: deterministic spread of x rows; y replicated k×
+            x = x.withColumn("__ia_salt", x_salt)
+            y = y.withColumn(
+                "__ia_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            )
         gmap = {**gmap, "__ia_salt": "__ia_salt"}
 
     if how not in ("inner", "right"):

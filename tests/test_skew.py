@@ -38,7 +38,14 @@ def test_salted_range_join_pairs_identical(spark):
         )
         return sorted(map(tuple, out.select("xd", "xs", "xe", "ys", "ye").collect()))
 
-    assert pairs() == pairs(salt=8) != []
+    base = pairs()
+    assert base == pairs(salt=8) != []
+    # hot-key-only salting: same pair set whether the threshold catches
+    # just the hot domain, every domain, or none
+    n_hot = x.filter(F.col("domain") == 0).count()
+    assert base == pairs(salt=8, hot_threshold=n_hot - 1)   # only domain 0 salted
+    assert base == pairs(salt=8, hot_threshold=0)           # all keys salted
+    assert base == pairs(salt=8, hot_threshold=10**9)       # no key salted
 
 
 def test_salted_interval_average_identical(spark):
@@ -64,11 +71,12 @@ def test_salted_interval_average_identical(spark):
         strategy="bucket", bucket_width=24,
     )
     a = sorted(map(tuple, interval_average(x, y, **kw).collect()))
-    b = sorted(map(tuple, interval_average(x, y, salt=8, **kw).collect()))
-    assert len(a) == len(b) > 0
-    for ra, rb in zip(a, b):
-        for va, vb in zip(ra, rb):
-            if isinstance(va, float):
-                assert abs(va - vb) < 1e-9
-            else:
-                assert va == vb
+    for extra in (dict(salt=8), dict(salt=8, hot_threshold=50)):
+        b = sorted(map(tuple, interval_average(x, y, **extra, **kw).collect()))
+        assert len(a) == len(b) > 0
+        for ra, rb in zip(a, b):
+            for va, vb in zip(ra, rb):
+                if isinstance(va, float):
+                    assert abs(va - vb) < 1e-9
+                else:
+                    assert va == vb
