@@ -32,8 +32,11 @@ it (every XOR fits the window by construction); round-trip stays
 bit-exact, and the repeated '11' headers of the per-point-adaptive policy
 disappear. Trade-off: one pathological XOR (e.g. value↔NaN flips) widens
 the window for the whole segment — segments are tier-width-bounded, so
-the blast radius is one window of points. Decoding is a sequential
-byte-sliding bit reader (test/read path).
+the blast radius is one window of points. Decoding is a byte-sliding bit
+reader whose '0'-entry RUNS (repeated values / constant deltas — the
+dominant symbol in real telemetry) are consumed in bulk numpy fills via a
+set-bit index; only non-repeat entries pay a Python iteration (measured
+45× on repeat-heavy series, ≈par on fully dense ones — BENCH/NOTES.md).
 
 Spark integration: ``encode_segments`` groups points into
 (group…, tier-window) segments via ``applyInPandas`` — the Arrow-batched
@@ -152,27 +155,55 @@ def _encode_ts(ts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return codes, nbits
 
 
+def _bit_index(buf: bytes) -> tuple[bytes, np.ndarray]:
+    """(one byte per BIT, positions of set bits) — the control-bit skip
+    index that lets the decoders consume whole '0'-entry runs in one numpy
+    step instead of one Python iteration per point (a '0' control bit is by
+    far the hottest symbol in real series: repeated values / constant
+    deltas). The per-bit bytes object gates the (comparatively costly)
+    searchsorted: dense streams with no zero runs pay only one C-speed
+    ``bytes[pos]`` probe per entry. Transient 8× blow-up of the blob —
+    segment blobs are tier-width-bounded, so this is KBs, not GBs."""
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    return bits.tobytes(), np.flatnonzero(bits)
+
+
 def _decode_ts(r: _BitReader, n: int) -> np.ndarray:
     out = np.empty(n, dtype=np.int64)
     t0 = np.uint64(r.take(64)).astype(np.int64)
     out[0] = t0
     if n == 1:
         return out
-    d = np.uint64(r.take(64)).astype(np.int64)
+    d = int(np.uint64(r.take(64)).astype(np.int64))
     out[1] = out[0] + d
-    for i in range(2, n):
+    bits, ones = _bit_index(r.buf)
+    n_ones = len(ones)
+    i = 2
+    while i < n:
+        # bulk: a run of '0' control bits = dod 0 repeated = arithmetic
+        # progression with the current delta — one vectorized fill
+        # (probe inlined: dense streams pay one bytes[pos] check per entry)
+        if not bits[r.pos]:
+            j = int(np.searchsorted(ones, r.pos))
+            nxt = int(ones[j]) if j < n_ones else r.pos + (n - i)
+            zrun = min(nxt - r.pos, n - i)
+            out[i : i + zrun] = out[i - 1] + d * np.arange(1, zrun + 1, dtype=np.int64)
+            r.pos += zrun
+            i += zrun
+            if i >= n:
+                break
+        r.pos += 1  # the '1' control bit
         if r.take(1) == 0:
-            dod = 0
-        elif r.take(1) == 0:
             dod = r.take(7) - 63
         elif r.take(1) == 0:
             dod = r.take(9) - 255
         elif r.take(1) == 0:
             dod = r.take(12) - 2047
         else:
-            dod = np.uint64(r.take(64)).astype(np.int64)
+            dod = int(np.uint64(r.take(64)).astype(np.int64))
         d = d + dod
         out[i] = out[i - 1] + d
+        i += 1
     return out
 
 
@@ -255,10 +286,22 @@ def _decode_vals(r: _BitReader, n: int) -> np.ndarray:
     prev = np.uint64(r.take(64))
     out[0] = prev
     p_lz = p_tz = -1
-    for i in range(1, n):
-        if r.take(1) == 0:
-            out[i] = prev
-            continue
+    bits, ones = _bit_index(r.buf)
+    n_ones = len(ones)
+    i = 1
+    while i < n:
+        # bulk: a '0'-entry run = the previous value repeated — one fill
+        # (probe inlined: dense streams pay one bytes[pos] check per entry)
+        if not bits[r.pos]:
+            j = int(np.searchsorted(ones, r.pos))
+            nxt = int(ones[j]) if j < n_ones else r.pos + (n - i)
+            zrun = min(nxt - r.pos, n - i)
+            out[i : i + zrun] = prev
+            r.pos += zrun
+            i += zrun
+            if i >= n:
+                break
+        r.pos += 1  # the '1' control bit
         if r.take(1) == 0:  # '10' reuse window
             ln = 64 - p_lz - p_tz
             x = np.uint64(r.take(ln)) << np.uint64(p_tz)
@@ -269,6 +312,7 @@ def _decode_vals(r: _BitReader, n: int) -> np.ndarray:
             x = np.uint64(r.take(ln)) << np.uint64(p_tz)
         prev = prev ^ x
         out[i] = prev
+        i += 1
     return out.view(np.float64)
 
 
