@@ -7,8 +7,9 @@ synthetic web-page table pushed through the full 1h→1d→30d tier cascade
 rollup's points/sec (the BASELINE.json metric). Results are forced with a
 noop-format write (full execution, no driver collect).
 
-Scaling evidence (local[8] vs local[32]) is produced by
-``python bench.py --scaling`` → BENCH/BASELINE.md (see that file).
+Scaling evidence (median of N interleaved fresh-JVM local[1]/local[4]
+pairs, unselected) is produced by ``python bench.py --scaling`` →
+BENCH/BASELINE.md (see that file for the protocol rationale).
 """
 
 from __future__ import annotations
@@ -40,14 +41,24 @@ def _warmup(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
-def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
-    """WARM timings: each query runs twice and the second run is reported
-    (the first pays one-time whole-stage-codegen JIT — ~5s on the first
-    window+join plan of a JVM — which is a constant, not a property of the
-    query). Queries run at 32 shuffle partitions: these shuffles are tens
-    of MB, where per-task dispatch overhead dominates above ~1 partition
-    per core (measured sp=64 → +60% on the daily events query); the tier
-    rollup keeps the larger sizing its memory profile needs."""
+#: stamped into every bench JSON so rounds stay comparable (the r1→r2
+#: methodology change — cold vs warm — was only documented in prose)
+METHODOLOGY = (
+    "warm-2nd-run; cold first-run alongside in queries_cold; rollup "
+    "JIT-warmed via a 200-page pre-run of the identical plan shapes"
+)
+
+
+def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """(warm, cold) timings: each query runs twice — the FIRST run (cold:
+    pays one-time whole-stage-codegen JIT, ~5s on the first window+join
+    plan of a JVM) and the SECOND (warm: the steady-state number the
+    headline uses; the JIT is a JVM constant, not a property of the
+    query). Both are reported so round-over-round comparisons can pick
+    either basis. Queries run at 32 shuffle partitions: these shuffles are
+    tens of MB, where per-task dispatch overhead dominates above ~1
+    partition per core (measured sp=64 → +60% on the daily events query);
+    the tier rollup keeps the larger sizing its memory profile needs."""
     from intervalaverage_spark import queries as q
 
     names = [
@@ -62,16 +73,18 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    out = {}
+    warm, cold = {}, {}
     try:
         for name in names:
-            reg[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.time()
             reg[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.time() - t0, 3)
+            cold[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            reg[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.time() - t0, 3)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    return out
+    return warm, cold
 
 
 def _bench_webts_rollup(spark, n_pages: int) -> tuple[float, int]:
@@ -110,6 +123,25 @@ def _bench_webts_rollup(spark, n_pages: int) -> tuple[float, int]:
     tmpdir = "/dev/shm" if _os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix="ia_bench_tiers_", dir=tmpdir)
     try:
+        # JIT warm-up (same warm-run policy as _bench_queries, disclosed in
+        # METHODOLOGY): run the identical plan shapes on a 200-page input
+        # first, so the timed section measures steady-state execution, not
+        # the ~5s of serial per-JVM whole-stage-codegen compilation — a JVM
+        # constant that is identical at every parallelism level and would
+        # otherwise depress the N-vs-4N scaling ratio (Amdahl on a
+        # non-recurring cost a long-lived cluster never re-pays).
+        wpages = synth_webpages(spark, n_pages=200, n_domains=4)
+        observation_intervals(wpages, unit=1).write.mode("overwrite").parquet(f"{tmp}/wx")
+        wx = spark.read.parquet(f"{tmp}/wx")
+        for tier in ("1h", "1d", "30d"):
+            rollup_from_raw(wx, TIER_WIDTHS[tier], vv, gv).write.mode(
+                "overwrite").parquet(f"{tmp}/w_{tier}")
+        wpts = finalize(spark.read.parquet(f"{tmp}/w_1d"), TIER_WIDTHS["1d"], vv, gv,
+                        required_percentage=0)
+        encode_segments(wpts.select(*gv, "start", "text_bytes"), gv, "start",
+                        "text_bytes", 30 * 86400).write.mode("overwrite").parquet(
+            f"{tmp}/w_seg")
+
         observation_intervals(pages, unit=1).write.mode("overwrite").parquet(f"{tmp}/x")
         x = spark.read.parquet(f"{tmp}/x")
 
@@ -161,11 +193,12 @@ def run_once(cpus: int, sf_dir: str, n_pages: int, rollup_only: bool = False) ->
                       shuffle_partitions=sp)
     try:
         warm = 0.0 if rollup_only else _warmup(spark, sf_dir)
-        queries = {} if rollup_only else _bench_queries(spark, sf_dir)
+        queries, queries_cold = ({}, {}) if rollup_only else _bench_queries(spark, sf_dir)
         roll_s, roll_pts = _bench_webts_rollup(spark, n_pages)
         queries["webts_rollup_3tier"] = round(roll_s, 3)
         return {
             "queries": queries,
+            "queries_cold": queries_cold,
             "warmup_seconds": warm,
             "rollup_points": roll_pts,
             "rollup_points_per_sec": round(roll_pts / roll_s, 1),
@@ -216,23 +249,41 @@ def main() -> None:
         # region (probe: 4→8 efficiency 1.06), same 4× core ratio, same
         # plan; only parallelism varies.
         lo, hi = (int(c) for c in os.environ.get("IA_SCALE_CORES", "1,4").split(","))
-        # best-of-N fresh-JVM runs per level: the shared host injects
-        # ±25% interference invisible to the guest (see BASELINE.md
-        # variance note); interference only ever SLOWS a run, so the max
-        # approximates the uncontended machine at both levels symmetrically
-        reps = int(os.environ.get("IA_SCALE_REPS", "2"))
-        res = {
-            c: max(
-                (_run_once_subprocess(c, sf_dir, n_pages) for _ in range(reps)),
-                key=lambda r: r["rollup_points_per_sec"],
+        # UNSELECTED median-of-N protocol (round-3 hardening; the round-2
+        # best-of protocol was flagged as thin evidence): N interleaved
+        # (lo, hi) pairs, each level a fresh JVM, efficiency computed PER
+        # PAIR (interleaving keeps a slow host window inside one pair,
+        # where it hits both levels and cancels in the ratio), headline =
+        # the MEDIAN pair efficiency, every raw run disclosed.
+        reps = int(os.environ.get("IA_SCALE_REPS", "5"))
+        pairs = []
+        for i in range(reps):
+            r_lo = _run_once_subprocess(lo, sf_dir, n_pages)
+            r_hi = _run_once_subprocess(hi, sf_dir, n_pages)
+            eff_i = round(
+                (r_hi["rollup_points_per_sec"] / r_lo["rollup_points_per_sec"])
+                / (hi / lo), 3,
             )
-            for c in (lo, hi)
-        }
-        t_lo = res[lo]["rollup_points_per_sec"]
-        t_hi = res[hi]["rollup_points_per_sec"]
-        ratio = hi / lo
-        eff = round((t_hi / t_lo) / ratio, 3)
+            pairs.append({
+                "pair": i + 1,
+                f"local[{lo}]_pts_per_sec": r_lo["rollup_points_per_sec"],
+                f"local[{hi}]_pts_per_sec": r_hi["rollup_points_per_sec"],
+                f"local[{lo}]_seconds": r_lo["queries"]["webts_rollup_3tier"],
+                f"local[{hi}]_seconds": r_hi["queries"]["webts_rollup_3tier"],
+                "points": r_lo["rollup_points"],
+                "efficiency": eff_i,
+            })
+            print(json.dumps({"progress_pair": pairs[-1]}), flush=True)
+        effs = sorted(p["efficiency"] for p in pairs)
+        median = effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+        )
         os.makedirs("BENCH", exist_ok=True)
+        rows = "\n".join(
+            f"| {p['pair']} | {p[f'local[{lo}]_pts_per_sec']} | "
+            f"{p[f'local[{hi}]_pts_per_sec']} | {p['efficiency']} |"
+            for p in pairs
+        )
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
                 "# BENCH — scaling evidence (sandbox protocol)\n\n"
@@ -253,24 +304,28 @@ def main() -> None:
                 "contention-free region — the honest stand-in for executors "
                 "that each own their cores on a real cluster. Both levels "
                 f"run the IDENTICAL plan ({os.environ.get('IA_SP')} shuffle "
-                f"partitions, best of {reps} fresh-JVM runs per level — "
-                "shared-host interference only ever slows a run, see the "
-                "variance section — tier storage on tmpfs "
-                "because cluster storage bandwidth scales with executors "
-                "while this VM's single disk does not); only the thread "
-                "count varies.\n\n"
-                "| config | rolled-up points | seconds | points/sec |\n|---|---|---|---|\n"
-                f"| local[{lo}]  | {res[lo]['rollup_points']} | {res[lo]['queries']['webts_rollup_3tier']} | {t_lo} |\n"
-                f"| local[{hi}] | {res[hi]['rollup_points']} | {res[hi]['queries']['webts_rollup_3tier']} | {t_hi} |\n\n"
-                f"**Scaling efficiency (points/sec ratio ÷ {ratio:g}): {eff}** "
-                f"(target ≥ 0.8)\n\n"
-                f"Details:\n\n"
-                f"```json\n{json.dumps({f'local[{c}]': r['queries'] for c, r in res.items()}, indent=2)}\n```\n"
+                "partitions; tier storage on tmpfs because cluster storage "
+                "bandwidth scales with executors while this VM's single "
+                "disk does not); only the thread count varies.\n\n"
+                f"**Protocol: UNSELECTED median of {reps} interleaved "
+                f"fresh-JVM (local[{lo}], local[{hi}]) pairs** — no best-of "
+                "(the round-2 protocol max-selected over runs; this one "
+                "reports every run and takes the median). Interleaving "
+                "keeps a slow host window inside one pair, where it slows "
+                "both levels and cancels in the ratio (the shared host "
+                "injects ±25% interference invisible to the guest).\n\n"
+                f"| pair | local[{lo}] pts/s | local[{hi}] pts/s | efficiency |\n"
+                "|---|---|---|---|\n"
+                f"{rows}\n\n"
+                f"**Median scaling efficiency (÷{hi // lo}): {median}** "
+                f"(target ≥ 0.8; per-pair range {effs[0]}–{effs[-1]}, "
+                f"points per run {pairs[0]['points']})\n\n"
+                f"Raw pairs:\n\n```json\n{json.dumps(pairs, indent=2)}\n```\n"
                 "\nMicro-benchmarks and skew/salting measurements: "
                 "BENCH/NOTES.md.\n"
             )
-        print(json.dumps({"scaling_efficiency": eff,
-                          "points_per_sec": {f"local{lo}": t_lo, f"local{hi}": t_hi}}))
+        print(json.dumps({"scaling_efficiency_median": median,
+                          "efficiencies": effs}))
         return
 
     t0 = time.time()
@@ -280,7 +335,9 @@ def main() -> None:
         "metric": "total_bench_seconds",
         "value": total,
         "unit": "sec",
+        "methodology": METHODOLOGY,
         "queries": r["queries"],
+        "queries_cold": r.get("queries_cold", {}),
         "warmup_seconds": r.get("warmup_seconds", 0.0),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rollup_points": r["rollup_points"],
