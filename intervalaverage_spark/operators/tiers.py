@@ -136,6 +136,7 @@ def rollup_from_raw(
     value_vars: Sequence[str],
     group_vars: Sequence[str] = (),
     interval_vars: tuple[str, str] = ("start", "end"),
+    interior_partitions: int | None = None,
 ) -> DataFrame:
     """Tier-1: raw NON-OVERLAPPING intervals → per-window state.
 
@@ -175,7 +176,21 @@ def rollup_from_raw(
     boundary = _state_agg(b.select(*cols), group_vars, value_vars, width)
 
     # --- interior windows: fully covered by this single interval
-    it = base.filter(F.col("__k1") > F.col("__k0") + 1).select(
+    it = base.filter(F.col("__k1") > F.col("__k0") + 1)
+    if interior_partitions:
+        # Escape hatch, OFF by default: the interior branch is NARROW, so
+        # its task count = the raw scan's split count. If the raw table
+        # arrives in fewer splits than cores (one giant unsplittable file,
+        # a tiny-but-dense table), the ~len/width×-amplified explode+write
+        # serializes; round-robin repartitioning the FILTERED pre-explode
+        # rows (only long intervals shuffle — cheap) restores parallelism.
+        # When splits ≥ cores this knob LOSES (measured 3.2× slower at 4
+        # cores, BENCH/interior_repartition_probe.py): the extra exchange
+        # destroys url clustering, and the exploded writes lose their
+        # run-length/dict locality. Leave it None unless the input layout
+        # is known-degenerate.
+        it = it.repartition(interior_partitions)
+    it = it.select(
         *group_vars, *value_vars,
         F.explode(F.sequence(F.col("__k0") + 1, F.col("__k1") - 1)).alias("__k"),
     )

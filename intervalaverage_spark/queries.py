@@ -27,6 +27,8 @@ from intervalaverage_spark import (
     tier_grid,
 )
 from intervalaverage_spark.functions.gorilla import decode_segments, encode_segments
+from intervalaverage_spark.operators.asof import asof_join
+from intervalaverage_spark.operators.fill import interpolate_linear, locf, nocb
 from intervalaverage_spark.operators.isolate import isolate_overlaps
 from intervalaverage_spark.operators.overlap import overlap_flags
 from intervalaverage_spark.operators.tiers import finalize, rollup_cascade, rollup_from_raw
@@ -779,6 +781,141 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
 """
 
 
+# ------------------------------------------------------- as-of + fills
+
+
+def q_asof_last_click_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (flat single-exchange path): every purchase
+    event annotated with the user's most recent click at or before it."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = F.unix_timestamp("ts").cast("long")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", t.alias("t"),
+        F.col("value").alias("purchase_value"),
+    )
+    # right side deduped per (user, t): max value — the operator's
+    # uniqueness contract (same rule in the oracle SQL)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", t.alias("t"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(purch, clicks, ["user_id"], "t", "t", ["click_value"], suffix="_c")
+    return out.select(
+        "event_id", "user_id", "t",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        # nullable ints → double, same dtype rule as _points_select
+        F.col("t_c").cast("double").alias("click_t"),
+        F.round("click_value_c", 6).alias("click_value"),
+    )
+
+
+ASOF_LAST_CLICK_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.t,
+       ROUND(p.purchase_value, 6) AS purchase_value,
+       CAST(c.t AS DOUBLE) AS click_t,
+       ROUND(c.click_value, 6) AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+"""
+
+
+def q_asof_next_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join on the BUCKETED skew path (time-sliced windows +
+    cross-bucket carry): every view event annotated with the user's next
+    purchase — the time-to-conversion query."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = F.unix_timestamp("ts").cast("long")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", t.alias("t"))
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", t.alias("t"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        views, purch, ["user_id"], "t", "t", ["purchase_value"],
+        direction="forward", bucket_width=7 * 86400, suffix="_p",
+    )
+    return out.select(
+        "event_id", "user_id", "t",
+        (F.col("t_p") - F.col("t")).cast("double").alias("secs_to_purchase"),
+        F.round("purchase_value_p", 6).alias("purchase_value"),
+    )
+
+
+ASOF_NEXT_PURCHASE_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT v.event_id, v.user_id, v.t,
+       CAST(p.t - v.t AS DOUBLE) AS secs_to_purchase,
+       ROUND(p.purchase_value, 6) AS purchase_value
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.t <= p.t
+"""
+
+
+def q_fill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF / NOCB / linear interpolation over the dense 1d tier grid
+    (required_percentage=50 leaves real NULL windows to fill)."""
+    base = q_interval_average_events_daily(spark, sf_dir).select(
+        "user_id", "start", "end", "value")
+    f = locf(base, "start", ["value"], ["user_id"], out_suffix="_locf")
+    f = nocb(f, "start", ["value"], ["user_id"], out_suffix="_nocb")
+    f = interpolate_linear(f, "start", ["value"], ["user_id"], out_suffix="_interp")
+    return f.select(
+        "user_id", "start", "end", "value",
+        F.round("value_locf", 6).alias("value_locf"),
+        F.round("value_nocb", 6).alias("value_nocb"),
+        F.round("value_interp", 6).alias("value_interp"),
+    )
+
+
+def _fill_daily_oracle_sql() -> str:
+    # fills layered over the dense interval_average oracle grid; the
+    # interpolation expression mirrors operators/fill.py term-for-term so
+    # the IEEE evaluation order (and hence the rounded hash) is identical
+    inner = _ia_oracle_sql(24, 50.0, sparse=False)
+    return f"""
+WITH g AS (SELECT user_id, start, "end", value FROM ({inner}) t),
+h AS (
+  SELECT user_id, start, "end", value,
+         last_value(value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY start)      AS pv,
+         last_value(CASE WHEN value IS NOT NULL THEN CAST(start AS DOUBLE) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY start)      AS pt,
+         last_value(value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY start DESC) AS nv,
+         last_value(CASE WHEN value IS NOT NULL THEN CAST(start AS DOUBLE) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY start DESC) AS nt
+  FROM g
+)
+SELECT user_id, start, "end", value,
+       ROUND(pv, 6) AS value_locf,
+       ROUND(nv, 6) AS value_nocb,
+       ROUND(CASE WHEN value IS NOT NULL THEN value
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (CAST(start AS DOUBLE) - pt) / (nt - pt)
+             END, 6) AS value_interp
+FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from intervalaverage_spark import queries_pipeline as qp
 
@@ -799,6 +936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "lang_stats_documents": q_lang_stats_documents,
         "topk_cosine_embeddings": q_topk_cosine_embeddings,
+        "asof_last_click_events": q_asof_last_click_events,
+        "asof_next_purchase_events": q_asof_next_purchase_events,
+        "fill_daily_events": q_fill_daily_events,
         **qp.queries(),
     }
 
@@ -830,4 +970,7 @@ def oracle_sql() -> dict[str, str]:
             "MIN(doc_id) AS first_doc FROM documents GROUP BY 1"
         ),
         "topk_cosine_embeddings": TOPK_COSINE_SQL,
+        "asof_last_click_events": ASOF_LAST_CLICK_SQL,
+        "asof_next_purchase_events": ASOF_NEXT_PURCHASE_SQL,
+        "fill_daily_events": _fill_daily_oracle_sql(),
     }
