@@ -122,16 +122,46 @@ def main() -> None:
     from intervalaverage_spark.queries_pipeline import q_shard_assign_documents
 
     add(
-        "shard assignment (distributed prefix sum)",
+        "shard assignment (distributed prefix sum, output side)",
         q_shard_assign_documents(spark, sf),
-        must=["rangepartitioning"],
+        must=["Scan ExistingRDD"],
         must_not=["Exchange SinglePartition", "BatchEvalPython"],
         note=(
             "A naive global cumsum is `Window.orderBy(id)` with no "
             "partition key — Catalyst plans it as Exchange SinglePartition "
-            "(the whole table through ONE task). The two-phase prefix sum "
-            "keeps the window partitioned (range shuffle + per-partition "
-            "sort); the only driver-side step is one row per partition."
+            "(the whole table through ONE task). The output side reads the "
+            "localCheckpoint that FREEZES the sampled range partitioning "
+            "(round-2 advice fix: boundaries re-sample per execution, so "
+            "totals and output must read the same materialization) — hence "
+            "`Scan ExistingRDD`, with per-partition offsets applied as a "
+            "literal map projection. The range shuffle itself sits BEFORE "
+            "the checkpoint; next section audits it."
+        ),
+    )
+
+    # 5b. the pre-checkpoint stage of the prefix sum: range-partitioned
+    # window, never a single-partition exchange
+    from pyspark.sql import Window as W
+
+    dd = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "n_chars")
+    pre = dd.repartitionByRange(F.col("doc_id")).withColumn(
+        "__pid", F.spark_partition_id()
+    ).withColumn(
+        "__cs",
+        F.sum(F.col("n_chars").cast("long")).over(
+            W.partitionBy("__pid").orderBy("doc_id")
+        ),
+    )
+    add(
+        "shard assignment (distributed prefix sum, pre-checkpoint stage)",
+        pre,
+        must=["rangepartitioning"],
+        must_not=["Exchange SinglePartition", "BatchEvalPython"],
+        note=(
+            "The stage the checkpoint materializes (mirrors "
+            "functions/sharding.py:54-60 exactly): range shuffle + "
+            "per-partition sort + partitioned running sum. No global "
+            "single-task window anywhere in the operator."
         ),
     )
 
@@ -164,6 +194,84 @@ def main() -> None:
             "— the scan is sub-linear in the table by construction, not by "
             "promise. Same rows as the in-memory IVF path "
             "(driver CORRECTNESS row ann_ivf_pruned_topk_embeddings)."
+        ),
+    )
+
+    # 7. as-of join, flat path: ZERO joins — union + one window
+    add(
+        "asof_join flat (zero-join union-window)",
+        q.q_asof_last_click_events(spark, sf),
+        must=["Window"],
+        must_not=["Join", "CartesianProduct", "BatchEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "The point-in-time join is a UNION of tagged sides + one "
+            "last(ignorenulls) window per key — the plan contains no join "
+            "node at all. One exchange on the key, one sort; everything "
+            "else is codegen projection."
+        ),
+    )
+
+    # 8. as-of join, bucketed skew path: the only join is a spread
+    # equi-join on (key, bucket) — never a BNLJ/cartesian
+    add(
+        "asof_join bucketed (time-sliced skew path)",
+        q.q_asof_next_purchase_events(spark, sf),
+        must=["Window"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Hot keys are time-sliced: windows partition on (key, bucket), "
+            "the cross-bucket carry runs at bucket granularity (~n_buckets "
+            "rows per key), and the only join is an equi-join back on "
+            "(key, bucket) — exactly the composite key the data model "
+            "already spreads."
+        ),
+    )
+
+    # 9. fills: windows only, no join, no python
+    add(
+        "locf/nocb/interpolate over the dense 1d grid",
+        q.q_fill_daily_events(spark, sf),
+        must=["Window"],
+        must_not=["BatchEvalPython", "FlatMapGroupsInPandas",
+                  "ObjectHashAggregate"],
+        note=(
+            "All three fills are last(ignorenulls) windows over the same "
+            "key partitioning — Catalyst plans one exchange and reuses it "
+            "across the ascending and descending sorts."
+        ),
+    )
+
+    # 10. M4 downsample: one aggregate, no join, no python. Struct min/max
+    # uses ObjectHashAggregate (struct buffers aren't codegen-mutable) —
+    # acceptable: state is 4 fixed-width structs per group, unlike the
+    # unbounded collect_list case round 1 banned.
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    add(
+        "M4 downsample (single aggregate pass)",
+        q.q_m4_daily_events(spark, sf),
+        must=["Aggregate", "hashpartitioning"],
+        must_not=["Join", "BatchEvalPython", "FlatMapGroupsInPandas",
+                  "collect_list"],
+        note=(
+            "first/last/min/max with timestamps in ONE groupBy via "
+            "lexicographic struct min/max — bounded per-group state, one "
+            "shuffle, no self-join back to find arg-extrema."
+        ),
+    )
+
+    # 11. sessionization: window + aggregate share one exchange
+    add(
+        "sessionization (gaps-and-islands, shared exchange)",
+        q.q_sessionize_events(spark, sf),
+        must=["Window", "HashAggregate"],
+        must_not=["Join", "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "lag + running-sum windows partition on the key; the bounds "
+            "groupBy clusters on (key, session_id), which hashpartitioning "
+            "(key) already satisfies — Catalyst plans a single exchange "
+            "for the whole operator."
         ),
     )
 

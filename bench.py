@@ -69,6 +69,11 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "isolate_overlaps_orders",
         "dedup_exact_documents",
         "topk_cosine_embeddings",
+        # round-3 operators (absent from BENCH_r01/r02 — compare from r03 on)
+        "asof_last_click_events",
+        "fill_daily_events",
+        "m4_daily_events",
+        "sessionize_events",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")

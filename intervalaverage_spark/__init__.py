@@ -11,6 +11,8 @@ All intervals are CLOSED (inclusive) on integer domains; interval length is
 """
 
 from intervalaverage_spark.operators.average import interval_average, interval_average_slow
+from intervalaverage_spark.operators.asof import asof_join
+from intervalaverage_spark.operators.fill import interpolate_linear, locf, nocb
 from intervalaverage_spark.operators.intersect import interval_intersect
 from intervalaverage_spark.operators.isolate import isolate_overlaps
 from intervalaverage_spark.operators.overlap import is_overlapping
@@ -23,6 +25,10 @@ __all__ = [
     "interval_intersect",
     "isolate_overlaps",
     "is_overlapping",
+    "asof_join",
+    "locf",
+    "nocb",
+    "interpolate_linear",
     "cj",
     "tier_grid",
     "range_join",

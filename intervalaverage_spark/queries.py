@@ -28,9 +28,11 @@ from intervalaverage_spark import (
 )
 from intervalaverage_spark.functions.gorilla import decode_segments, encode_segments
 from intervalaverage_spark.operators.asof import asof_join
+from intervalaverage_spark.operators.downsample import m4_downsample
 from intervalaverage_spark.operators.fill import interpolate_linear, locf, nocb
 from intervalaverage_spark.operators.isolate import isolate_overlaps
 from intervalaverage_spark.operators.overlap import overlap_flags
+from intervalaverage_spark.operators.sessions import session_bounds
 from intervalaverage_spark.operators.tiers import finalize, rollup_cascade, rollup_from_raw
 from intervalaverage_spark.streaming.rollup_stream import stream_hourly_state
 
@@ -916,6 +918,86 @@ FROM h
 """
 
 
+# ------------------------------------------- M4 downsample + sessions
+
+
+def q_m4_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization downsample (first/last/min/max + timestamps) of
+    each user's raw value series into 1-day buckets — one groupBy, all
+    codegen."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("t"), "value")
+    out = m4_downsample(pts, "t", "value", 86400, ["user_id"])
+    cols = ["t_first", "t_last", "t_min", "t_max"]
+    return out.select(
+        "user_id", "bucket",
+        *[F.col(c) for c in cols],
+        *[F.round(f"v{c[1:]}", 6).alias(f"v{c[1:]}") for c in cols],
+        "n_points",
+    )
+
+
+M4_DAILY_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS v
+  FROM events
+),
+a AS (
+  SELECT user_id, CAST(floor(t / 86400.0) AS BIGINT) AS bucket,
+         min(CASE WHEN v IS NOT NULL THEN struct_pack(t := t, v := v) END) AS f,
+         max(CASE WHEN v IS NOT NULL THEN struct_pack(t := t, v := v) END) AS l,
+         min(CASE WHEN v IS NOT NULL THEN struct_pack(v := v, t := t) END) AS mn,
+         max(CASE WHEN v IS NOT NULL THEN struct_pack(v := v, t := t) END) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM e GROUP BY 1, 2
+)
+SELECT user_id, bucket,
+       f.t AS t_first, l.t AS t_last, mn.t AS t_min, mx.t AS t_max,
+       ROUND(f.v, 6) AS v_first, ROUND(l.v, 6) AS v_last,
+       ROUND(mn.v, 6) AS v_min, ROUND(mx.v, 6) AS v_max,
+       n_points
+FROM a
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min) per user over the raw event stream:
+    bounds, event count, closed-interval duration, value sum."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("t"), "value")
+    out = session_bounds(pts, "t", 1800, ["user_id"], value_col="value")
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end",
+        "n_events", "duration", F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+s2 AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(t) AS session_start, max(t) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       max(t) - min(t) + 1 AS duration,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s2 GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from intervalaverage_spark import queries_pipeline as qp
 
@@ -939,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click_events": q_asof_last_click_events,
         "asof_next_purchase_events": q_asof_next_purchase_events,
         "fill_daily_events": q_fill_daily_events,
+        "m4_daily_events": q_m4_daily_events,
+        "sessionize_events": q_sessionize_events,
         **qp.queries(),
     }
 
@@ -973,4 +1057,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_click_events": ASOF_LAST_CLICK_SQL,
         "asof_next_purchase_events": ASOF_NEXT_PURCHASE_SQL,
         "fill_daily_events": _fill_daily_oracle_sql(),
+        "m4_daily_events": M4_DAILY_SQL,
+        "sessionize_events": SESSIONIZE_SQL,
     }
