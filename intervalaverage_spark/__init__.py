@@ -12,6 +12,7 @@ All intervals are CLOSED (inclusive) on integer domains; interval length is
 
 from intervalaverage_spark.operators.average import interval_average, interval_average_slow
 from intervalaverage_spark.operators.asof import asof_join
+from intervalaverage_spark.operators.coalesce import interval_coalesce
 from intervalaverage_spark.operators.fill import interpolate_linear, locf, nocb
 from intervalaverage_spark.operators.intersect import interval_intersect
 from intervalaverage_spark.operators.isolate import isolate_overlaps
@@ -23,6 +24,7 @@ __all__ = [
     "interval_average",
     "interval_average_slow",
     "interval_intersect",
+    "interval_coalesce",
     "isolate_overlaps",
     "is_overlapping",
     "asof_join",

@@ -1,0 +1,96 @@
+"""Interval coalescing — merge overlapping/adjacent intervals per key.
+
+The inverse companion of ``isolateoverlaps`` (operators/isolate.py):
+where isolation fragments a self-overlapping set into atomic pieces,
+coalescing fuses it into its minimal disjoint cover — the per-key union
+of the intervals as a set of points. Classic gaps-and-islands:
+
+  1. per key, sort by start; track the running max end seen so far
+  2. a row starts a NEW island iff its start exceeds that running max
+     by more than ``adjacency_gap`` + 1 (closed integer intervals:
+     [1,3] and [4,7] touch, so gap 0 merges them; ``adjacency_gap=-1``
+     restricts to true overlaps only)
+  3. island id = running sum of the new-island flags; bounds = min/max
+     per (key, island)
+
+One window + one aggregate on the SAME key partitioning — a single
+exchange, all whole-stage codegen, no join (the same plan shape as
+operators/sessions.py, which is this operator on zero-length points).
+The reference has no direct equivalent; its users build this from
+``isolateoverlaps`` output — here it is one pass instead of
+fragment+dedup+merge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.operators.average import _from_int_days, _prep
+from intervalaverage_spark.validation import check_schema
+
+
+def interval_coalesce(
+    x: DataFrame,
+    interval_vars: Sequence[str],
+    group_vars: Sequence[str] = (),
+    interval_vars_out: tuple[str, str] = ("start", "end"),
+    adjacency_gap: int = 0,
+    sort: bool = True,
+) -> DataFrame:
+    """Minimal disjoint cover of each key's intervals.
+
+    Output: ``(*group_vars, start, end, n_intervals, covered)`` — one row
+    per merged island; ``n_intervals`` counts the source rows fused into
+    it, ``covered`` is the TRUE union size in points (each row contributes
+    only what lies beyond the running max end — overlaps never double
+    count; with ``adjacency_gap=0`` covered == end−start+1 always, with
+    gap>0 the difference is exactly the tolerated uncovered run). DATE
+    intervals coerce/restore like every operator.
+
+    ``adjacency_gap``: islands split where the uncovered run between a
+    row and everything before it exceeds this many units (0 = touching
+    intervals merge; -1 = only true overlaps merge).
+    """
+    iv, gv = list(interval_vars), list(group_vars)
+    out_s, out_e = interval_vars_out
+    is_date = check_schema(x, iv, gv, reserved_ok=True)
+    if adjacency_gap < -1:
+        raise ValueError(f"adjacency_gap must be >= -1, got {adjacency_gap}")
+    xp = _prep(x, iv, "__s", "__e", gv, is_date)
+
+    w = Window.partitionBy(*gv).orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col("__s") > prev_max_end + 1 + adjacency_gap),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # per-row NEW coverage: points past the running max end (0 if fully
+    # inside previous coverage) — sums to the exact union size
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("__e")
+        - F.greatest(F.col("__s"), F.coalesce(prev_max_end + 1, F.col("__s")))
+        + 1,
+    )
+    isl = xp.select(
+        *gv, "__s", "__e",
+        F.sum(new_island).over(run).alias("__island"),
+        contrib.alias("__new_cov"),
+    )
+    agg = isl.groupBy(*gv, "__island").agg(
+        F.min("__s").alias("__os"),
+        F.max("__e").alias("__oe"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__new_cov").alias("covered"),
+    )
+    s_col, e_col = F.col("__os"), F.col("__oe")
+    if is_date:
+        s_col, e_col = _from_int_days(s_col), _from_int_days(e_col)
+    out = agg.select(
+        *gv, s_col.alias(out_s), e_col.alias(out_e), "n_intervals", "covered"
+    )
+    return out.orderBy(*gv, out_s) if sort else out

@@ -28,6 +28,7 @@ from intervalaverage_spark import (
 )
 from intervalaverage_spark.functions.gorilla import decode_segments, encode_segments
 from intervalaverage_spark.operators.asof import asof_join
+from intervalaverage_spark.operators.coalesce import interval_coalesce
 from intervalaverage_spark.operators.downsample import m4_downsample
 from intervalaverage_spark.operators.fill import interpolate_linear, locf, nocb
 from intervalaverage_spark.operators.isolate import isolate_overlaps
@@ -918,6 +919,43 @@ FROM h
 """
 
 
+# ----------------------------------------------------- coalesce
+
+
+def q_coalesce_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal disjoint cover of each customer's (overlapping) order
+    validity intervals — one window + one aggregate, no join."""
+    x = orders_x(spark, sf_dir)
+    out = interval_coalesce(x, ("s", "e"), ["custkey"], sort=False)
+    return out.select("custkey", "start", "end", "n_intervals", "covered")
+
+
+COALESCE_ORDERS_SQL = f"""
+WITH {ORDERS_X_SQL},
+w AS (
+  SELECT custkey, s, e,
+         max(e) OVER (PARTITION BY custkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM ox
+),
+f AS (
+  SELECT *,
+         CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END AS brk,
+         GREATEST(0, e - GREATEST(s, COALESCE(pme + 1, s)) + 1) AS newcov
+  FROM w
+),
+i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY custkey ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM f
+)
+SELECT custkey, min(s) AS start, max(e) AS "end",
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(newcov) AS BIGINT) AS covered
+FROM i GROUP BY custkey, island
+"""
+
+
 # ------------------------------------------- M4 downsample + sessions
 
 
@@ -1023,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_daily_events": q_fill_daily_events,
         "m4_daily_events": q_m4_daily_events,
         "sessionize_events": q_sessionize_events,
+        "coalesce_orders": q_coalesce_orders,
         **qp.queries(),
     }
 
@@ -1059,4 +1098,5 @@ def oracle_sql() -> dict[str, str]:
         "fill_daily_events": _fill_daily_oracle_sql(),
         "m4_daily_events": M4_DAILY_SQL,
         "sessionize_events": SESSIONIZE_SQL,
+        "coalesce_orders": COALESCE_ORDERS_SQL,
     }
