@@ -36,6 +36,7 @@ from intervalaverage_spark.operators.overlap import overlap_flags
 from intervalaverage_spark.operators.sessions import session_bounds
 from intervalaverage_spark.operators.tiers import finalize, rollup_cascade, rollup_from_raw
 from intervalaverage_spark.streaming.rollup_stream import stream_hourly_state
+from intervalaverage_spark.streaming.session_stream import stream_sessions
 
 # ------------------------------------------------------------ events → x
 
@@ -919,6 +920,78 @@ FROM h
 """
 
 
+# ------------------------------------------------ streaming sessions
+
+
+def q_streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native event-time session windows (30-min gap) over the event
+    stream, availableNow replay. A sentinel event on a dummy key far in
+    the future advances the final watermark past every real session's
+    close so append mode emits them all (streaming/session_stream.py
+    docstring); the sentinel is excluded from the result. Timestamps are
+    floored to whole seconds on write (events carry microseconds; the
+    SQL oracle works on integer seconds)."""
+    import tempfile
+    import uuid
+
+    gap, sentinel_key = 1800, 10**9
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+        "value",
+    )
+    hi = ev.agg(F.max("ts").alias("m")).first()["m"]
+    sentinel = spark.createDataFrame(
+        [(sentinel_key, hi, None)], schema=ev.schema
+    ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {10 * gap} SECONDS"))
+    tmp = tempfile.mkdtemp(prefix="ia_sess_stream_")
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(f"{tmp}/src")
+
+    stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/src")
+    out = stream_sessions(stream, gap, ("user_id",), "ts", value_col="value")
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_sessions_events: availableNow query did not finish "
+            "within 300s; refusing to compare a truncated sink"
+        )
+    q.stop()
+    return spark.table(name).filter(F.col("user_id") != sentinel_key).select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+#: strict boundary: session_window merges on diff < gap, so a NEW session
+#: starts at diff >= gap (vs the batch operator's > gap)
+STREAMING_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+s2 AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s2 GROUP BY user_id, sid
+"""
+
+
 # ----------------------------------------------------- coalesce
 
 
@@ -1062,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_daily_events": q_m4_daily_events,
         "sessionize_events": q_sessionize_events,
         "coalesce_orders": q_coalesce_orders,
+        "streaming_sessions_events": q_streaming_sessions_events,
         **qp.queries(),
     }
 
@@ -1099,4 +1173,5 @@ def oracle_sql() -> dict[str, str]:
         "m4_daily_events": M4_DAILY_SQL,
         "sessionize_events": SESSIONIZE_SQL,
         "coalesce_orders": COALESCE_ORDERS_SQL,
+        "streaming_sessions_events": STREAMING_SESSIONS_SQL,
     }
