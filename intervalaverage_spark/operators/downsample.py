@@ -88,6 +88,56 @@ def m4_downsample(
     )
 
 
+def m4_cascade(
+    state: DataFrame,
+    from_width: int,
+    to_width: int,
+    group_vars: Sequence[str] = (),
+) -> DataFrame:
+    """Merge M4 states from ``from_width`` buckets into ``to_width``
+    buckets WITHOUT re-reading raw points — M4 state is mergeable the
+    same way the tier engine's Σw·v state is (operators/tiers.py):
+    first = arg-min over child firsts, min = arg-min over child minima,
+    etc., all via the same lexicographic struct aggregates. Exactness
+    (``m4_cascade(m4(W1), W2) == m4(W2)``) is property-tested.
+
+    The zoom-out path of a dashboard backend: day → week → month pyramid
+    built level-from-level, each level ~W-fold smaller than the last."""
+    if to_width % from_width:
+        raise IntervalSchemaError(
+            f"{to_width} not a multiple of {from_width}: M4 levels must tile")
+    group_vars = list(group_vars)
+    for c in ("bucket", "t_first", "v_first", "t_last", "v_last",
+              "t_min", "v_min", "t_max", "v_max", "n_points", *group_vars):
+        if c not in state.columns:
+            raise IntervalSchemaError(f"missing M4 state column {c!r}")
+    k = fdiv(F.col("bucket") * from_width, to_width)
+
+    def vt(t_c: str, v_c: str):
+        nn = F.col(v_c).isNotNull()
+        return F.when(nn, F.struct(F.col(v_c).alias("v"), F.col(t_c).alias("t")))
+
+    def tv(t_c: str, v_c: str):
+        nn = F.col(v_c).isNotNull()
+        return F.when(nn, F.struct(F.col(t_c).alias("t"), F.col(v_c).alias("v")))
+
+    agg = state.groupBy(*group_vars, k.alias("bucket")).agg(
+        F.min(tv("t_first", "v_first")).alias("__f"),
+        F.max(tv("t_last", "v_last")).alias("__l"),
+        F.min(vt("t_min", "v_min")).alias("__mn"),
+        F.max(vt("t_max", "v_max")).alias("__mx"),
+        F.sum("n_points").alias("n_points"),
+    )
+    return agg.select(
+        *group_vars, "bucket",
+        F.col("__f.t").alias("t_first"), F.col("__f.v").alias("v_first"),
+        F.col("__l.t").alias("t_last"), F.col("__l.v").alias("v_last"),
+        F.col("__mn.t").alias("t_min"), F.col("__mn.v").alias("v_min"),
+        F.col("__mx.t").alias("t_max"), F.col("__mx.v").alias("v_max"),
+        "n_points",
+    )
+
+
 def lttb_numpy(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
     """Reference LTTB on one series (t sorted ascending, no NaNs).
     Returns the selected row indices, always including both endpoints.

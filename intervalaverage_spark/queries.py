@@ -29,7 +29,7 @@ from intervalaverage_spark import (
 from intervalaverage_spark.functions.gorilla import decode_segments, encode_segments
 from intervalaverage_spark.operators.asof import asof_join
 from intervalaverage_spark.operators.coalesce import interval_coalesce
-from intervalaverage_spark.operators.downsample import m4_downsample
+from intervalaverage_spark.operators.downsample import m4_cascade, m4_downsample
 from intervalaverage_spark.operators.fill import interpolate_linear, locf, nocb
 from intervalaverage_spark.operators.isolate import isolate_overlaps
 from intervalaverage_spark.operators.overlap import overlap_flags
@@ -1072,6 +1072,27 @@ FROM a
 """
 
 
+def q_m4_cascade_5d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 mergeable-state cascade: the 5-day level built by MERGING the
+    1-day M4 states (no raw re-read) — the oracle computes 5-day M4
+    directly from raw, so the driver hash proves merge == direct."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("t"), "value")
+    fine = m4_downsample(pts, "t", "value", 86400, ["user_id"])
+    out = m4_cascade(fine, 86400, 5 * 86400, ["user_id"])
+    cols = ["t_first", "t_last", "t_min", "t_max"]
+    return out.select(
+        "user_id", "bucket",
+        *[F.col(c) for c in cols],
+        *[F.round(f"v{c[1:]}", 6).alias(f"v{c[1:]}") for c in cols],
+        "n_points",
+    )
+
+
+M4_CASCADE_5D_SQL = M4_DAILY_SQL.replace("86400", str(5 * 86400))
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30-min) per user over the raw event stream:
     bounds, event count, closed-interval duration, value sum."""
@@ -1133,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_purchase_events": q_asof_next_purchase_events,
         "fill_daily_events": q_fill_daily_events,
         "m4_daily_events": q_m4_daily_events,
+        "m4_cascade_5d_events": q_m4_cascade_5d_events,
         "sessionize_events": q_sessionize_events,
         "coalesce_orders": q_coalesce_orders,
         "streaming_sessions_events": q_streaming_sessions_events,
@@ -1171,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_next_purchase_events": ASOF_NEXT_PURCHASE_SQL,
         "fill_daily_events": _fill_daily_oracle_sql(),
         "m4_daily_events": M4_DAILY_SQL,
+        "m4_cascade_5d_events": M4_CASCADE_5D_SQL,
         "sessionize_events": SESSIONIZE_SQL,
         "coalesce_orders": COALESCE_ORDERS_SQL,
         "streaming_sessions_events": STREAMING_SESSIONS_SQL,

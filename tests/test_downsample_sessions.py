@@ -8,7 +8,12 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from intervalaverage_spark.operators.downsample import lttb, lttb_numpy, m4_downsample
+from intervalaverage_spark.operators.downsample import (
+    lttb,
+    lttb_numpy,
+    m4_cascade,
+    m4_downsample,
+)
 from intervalaverage_spark.operators.sessions import session_bounds, sessionize
 from intervalaverage_spark.validation import IntervalSchemaError
 
@@ -63,6 +68,25 @@ def test_m4_minmax_envelope_property(series):
     ext = p.groupby(["k", "bucket"])["v"].agg(["min", "max"]).reset_index()
     m = got.merge(ext, on=["k", "bucket"], how="inner")
     assert np.allclose(m["v_min"], m["min"]) and np.allclose(m["v_max"], m["max"])
+
+
+def test_m4_cascade_equals_direct(series):
+    """The mergeable-state property: cascading 1000→5000-unit M4 levels
+    equals computing the 5000-unit level from raw."""
+    _, df = series
+    fine = m4_downsample(df, "t", "v", 1000, ["k"])
+    casc = m4_cascade(fine, 1000, 5000, ["k"]).toPandas().sort_values(
+        ["k", "bucket"]).reset_index(drop=True)
+    direct = m4_downsample(df, "t", "v", 5000, ["k"]).toPandas().sort_values(
+        ["k", "bucket"]).reset_index(drop=True)
+    assert len(casc) == len(direct)
+    for c in direct.columns:
+        assert np.allclose(casc[c].astype(float).fillna(-9),
+                           direct[c].astype(float).fillna(-9)), c
+    with pytest.raises(IntervalSchemaError, match="tile"):
+        m4_cascade(fine, 1000, 1500, ["k"])
+    with pytest.raises(IntervalSchemaError, match="missing M4 state"):
+        m4_cascade(fine.drop("v_min"), 1000, 5000, ["k"])
 
 
 def test_lttb_numpy_reference_properties():
