@@ -261,6 +261,20 @@ def main() -> None:
         ),
     )
 
+    # 10b. interval coalescing: same single-exchange shape
+    add(
+        "interval coalescing (running-max union cover)",
+        q.q_coalesce_orders(spark, sf),
+        must=["Window", "HashAggregate"],
+        must_not=["Join", "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Minimal disjoint cover per key: running-max window + one "
+            "aggregate on the same key partitioning — no join, and the "
+            "exact union size (covered) falls out of the same window "
+            "pass (per-row new-coverage contributions)."
+        ),
+    )
+
     # 11. sessionization: window + aggregate share one exchange
     add(
         "sessionization (gaps-and-islands, shared exchange)",

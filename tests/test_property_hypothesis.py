@@ -1,0 +1,96 @@
+"""Hypothesis property tests: randomized structures vs pure-python
+references for the round-3 operators. Example budgets are small — every
+example is a Spark round-trip — but hypothesis explores the degenerate
+corners (empty keys, single points, full overlap, zero gaps) that seeded
+fixtures miss; failures shrink to minimal cases."""
+
+from __future__ import annotations
+
+import bisect
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from intervalaverage_spark.operators.asof import asof_join
+from intervalaverage_spark.operators.coalesce import interval_coalesce
+from intervalaverage_spark.operators.sessions import sessionize
+
+SET = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 120), st.integers(0, 40)), min_size=1, max_size=40
+)
+
+
+@SET
+@given(iv=intervals, gap=st.integers(-1, 5))
+def test_coalesce_vs_python_union(spark, iv, gap):
+    pdf = pd.DataFrame(
+        {"k": 1, "s": [s for s, _ in iv], "e": [s + w for s, w in iv]})
+    out = interval_coalesce(
+        spark.createDataFrame(pdf), ("s", "e"), ["k"], adjacency_gap=gap,
+        sort=False,
+    ).toPandas().sort_values("start")
+    # python reference: sort, sweep with running max end
+    rows = sorted(zip(pdf["s"], pdf["e"]))
+    islands, cur_s, cur_e, n, cov = [], None, None, 0, 0
+    for s, e in rows:
+        if cur_s is None or s > cur_e + 1 + gap:
+            if cur_s is not None:
+                islands.append((cur_s, cur_e, n, cov))
+            cur_s, cur_e, n, cov = s, e, 1, e - s + 1
+        else:
+            n += 1
+            cov += max(0, e - max(s, cur_e + 1) + 1)
+            cur_e = max(cur_e, e)
+    islands.append((cur_s, cur_e, n, cov))
+    got = list(zip(out["start"], out["end"], out["n_intervals"], out["covered"]))
+    assert got == islands
+
+
+@SET
+@given(
+    ts=st.lists(st.integers(0, 500), min_size=1, max_size=50),
+    gap=st.integers(0, 30),
+)
+def test_sessionize_vs_python(spark, ts, gap):
+    pdf = pd.DataFrame({"k": 1, "t": ts})
+    out = sessionize(spark.createDataFrame(pdf), "t", gap, ["k"]).toPandas()
+    got = sorted(zip(out["t"], out["session_id"]))
+    sid, prev, want = 0, None, []
+    for t in sorted(ts):
+        if prev is None or t - prev > gap:
+            sid += 1
+        want.append((t, sid))
+        prev = t
+    assert got == want
+
+
+@SET
+@given(
+    lt=st.lists(st.integers(0, 300), min_size=1, max_size=30),
+    rt=st.lists(st.integers(0, 300), min_size=1, max_size=30, unique=True),
+    bw=st.one_of(st.none(), st.integers(1, 100)),
+)
+def test_asof_backward_vs_python_bisect(spark, lt, rt, bw):
+    l = spark.createDataFrame(pd.DataFrame({"k": 1, "t": lt}))
+    r = spark.createDataFrame(
+        pd.DataFrame({"k": 1, "t": rt, "rv": [float(t) for t in rt]}))
+    out = asof_join(l, r, ["k"], "t", "t", ["rv"], bucket_width=bw).toPandas()
+    rs = sorted(rt)
+    want = {}
+    for t in lt:
+        i = bisect.bisect_right(rs, t)
+        want[t] = rs[i - 1] if i else None
+    for _, row in out.iterrows():
+        m = want[row["t"]]
+        got = None if pd.isna(row["t_right"]) else int(row["t_right"])
+        assert got == m
+        if m is not None:
+            assert row["rv_right"] == float(m)
