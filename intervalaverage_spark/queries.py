@@ -28,6 +28,11 @@ from intervalaverage_spark import (
 )
 from intervalaverage_spark.functions.gorilla import decode_segments, encode_segments
 from intervalaverage_spark.operators.asof import asof_join
+from intervalaverage_spark.operators.analytics import (
+    rate,
+    rolling,
+    windowed_percentiles,
+)
 from intervalaverage_spark.operators.coalesce import interval_coalesce
 from intervalaverage_spark.operators.downsample import m4_cascade, m4_downsample
 from intervalaverage_spark.operators.fill import interpolate_linear, locf, nocb
@@ -920,6 +925,96 @@ FROM h
 """
 
 
+# --------------------------------------------------- series analytics
+
+#: unique-(user, second) gauge points from events — the rate/rolling and
+#: percentile queries share this dedup (max value per second, the same
+#: uniqueness contract as the as-of right side)
+EVENTS_PTS_SQL = """
+e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, max(value) AS value
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def _events_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.unix_timestamp("ts").cast("long").alias("t"))
+        .agg(F.max("value").alias("value"))
+    )
+
+
+def q_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete derivative Δv/Δt per user over the gauge series."""
+    out = rate(_events_pts(spark, sf_dir), "t", "value", ["user_id"])
+    return out.select(
+        "user_id", "t", F.round("value", 6).alias("value"),
+        F.round("rate", 6).alias("rate"),
+    )
+
+
+RATE_EVENTS_SQL = f"""
+WITH {EVENTS_PTS_SQL}
+SELECT user_id, t, ROUND(value, 6) AS value,
+       ROUND(CASE WHEN t > lag(t) OVER w
+                  THEN (value - lag(value) OVER w) / (t - lag(t) OVER w)
+             END, 6) AS rate
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+"""
+
+
+def q_rolling_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour time-RANGE moving mean/count per user — frame membership by
+    timestamp distance, not row count."""
+    out = rolling(_events_pts(spark, sf_dir), "t", "value", 3600,
+                  ["user_id"], aggs=("mean", "count"))
+    return out.select(
+        "user_id", "t", F.round("value", 6).alias("value"),
+        F.round("value_roll_mean", 6).alias("roll_mean"),
+        F.col("value_roll_count").alias("roll_count"),
+    )
+
+
+ROLLING_1H_SQL = f"""
+WITH {EVENTS_PTS_SQL}
+SELECT user_id, t, ROUND(value, 6) AS value,
+       ROUND(AVG(value) OVER w6, 6) AS roll_mean,
+       CAST(COUNT(value) OVER w6 AS BIGINT) AS roll_count
+FROM e WINDOW w6 AS (PARTITION BY user_id ORDER BY t
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_percentiles_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 per (user, day) — linear interpolation in both
+    engines (Spark percentile == DuckDB quantile_cont on doubles)."""
+    out = windowed_percentiles(
+        _events_pts(spark, sf_dir), "t", "value", 86400, [0.5, 0.95],
+        ["user_id"],
+    )
+    return out.select(
+        "user_id", "bucket",
+        F.round("p50", 6).alias("p50"), F.round("p95", 6).alias("p95"),
+        "n_points",
+    )
+
+
+PERCENTILES_DAILY_SQL = f"""
+WITH {EVENTS_PTS_SQL},
+a AS (
+  SELECT user_id, CAST(floor(t / 86400.0) AS BIGINT) AS bucket,
+         quantile_cont(CAST(value AS DOUBLE), [0.5, 0.95]) AS q,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM e GROUP BY 1, 2
+)
+SELECT user_id, bucket, ROUND(q[1], 6) AS p50, ROUND(q[2], 6) AS p95,
+       n_points
+FROM a
+"""
+
+
 # ------------------------------------------------ streaming sessions
 
 
@@ -1158,6 +1253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "coalesce_orders": q_coalesce_orders,
         "streaming_sessions_events": q_streaming_sessions_events,
+        "rate_events": q_rate_events,
+        "rolling_1h_events": q_rolling_1h_events,
+        "percentiles_daily_events": q_percentiles_daily_events,
         **qp.queries(),
     }
 
@@ -1197,4 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SESSIONIZE_SQL,
         "coalesce_orders": COALESCE_ORDERS_SQL,
         "streaming_sessions_events": STREAMING_SESSIONS_SQL,
+        "rate_events": RATE_EVENTS_SQL,
+        "rolling_1h_events": ROLLING_1H_SQL,
+        "percentiles_daily_events": PERCENTILES_DAILY_SQL,
     }

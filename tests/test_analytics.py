@@ -1,0 +1,99 @@
+"""rate / rolling / windowed_percentiles unit + differential tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.operators.analytics import (
+    rate,
+    rolling,
+    windowed_percentiles,
+)
+from intervalaverage_spark.validation import IntervalSchemaError
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rng = np.random.RandomState(47)
+    n = 2000
+    pdf = pd.DataFrame({
+        "k": rng.randint(0, 8, n),
+        "t": rng.randint(0, 50000, n),
+        "v": (rng.rand(n) * 100).round(6),
+    }).drop_duplicates(["k", "t"])
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_rate_gauge_matches_pandas(pts):
+    pdf, df = pts
+    got = rate(df, "t", "v", ["k"]).toPandas().sort_values(
+        ["k", "t"]).reset_index(drop=True)
+    p = pdf.sort_values(["k", "t"]).reset_index(drop=True)
+    want = p.groupby("k", group_keys=False).apply(
+        lambda g: (g["v"].diff() / g["t"].diff()))
+    assert np.allclose(got["rate"].fillna(-9), want.fillna(-9))
+
+
+def test_rate_counter_reset_semantics(spark):
+    # counter 0→10→3 (reset) → rate over Δt=10 each: 1.0 then 0.3
+    pdf = pd.DataFrame({"k": [1, 1, 1], "t": [0, 10, 20], "v": [0.0, 10.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    zero = rate(df, "t", "v", ["k"], counter_reset="zero").toPandas().sort_values("t")
+    assert np.allclose(zero["rate"].fillna(-9), [-9, 1.0, 0.3])
+    none = rate(df, "t", "v", ["k"]).toPandas().sort_values("t")
+    assert np.allclose(none["rate"].fillna(-9), [-9, 1.0, -0.7])
+    # duplicate timestamp → NULL, never a division by zero
+    dup = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [5, 5], "v": [1.0, 2.0]}))
+    assert rate(dup, "t", "v", ["k"]).filter(
+        F.col("rate").isNotNull()).count() == 0
+
+
+def test_rolling_matches_pandas_time_window(pts):
+    pdf, df = pts
+    got = rolling(df, "t", "v", 1000, ["k"], aggs=("sum", "count")).toPandas()
+    got = got.sort_values(["k", "t"]).reset_index(drop=True)
+    p = pdf.sort_values(["k", "t"]).reset_index(drop=True)
+    sums, cnts = [], []
+    for _, g in p.groupby("k"):
+        t = g["t"].to_numpy()
+        v = g["v"].to_numpy()
+        for i in range(len(g)):
+            m = (t >= t[i] - 1000) & (t <= t[i])
+            sums.append(v[m].sum())
+            cnts.append(int(m.sum()))
+    assert np.allclose(got["v_roll_sum"], sums)
+    assert np.array_equal(got["v_roll_count"].to_numpy(), np.array(cnts))
+
+
+def test_windowed_percentiles_match_numpy(pts):
+    pdf, df = pts
+    got = windowed_percentiles(df, "t", "v", 10000, [0.5, 0.95], ["k"])
+    got = got.toPandas().sort_values(["k", "bucket"]).reset_index(drop=True)
+    p = pdf.copy()
+    p["bucket"] = p["t"] // 10000
+    want = p.groupby(["k", "bucket"])["v"].agg(
+        p50=lambda s: np.percentile(s, 50),   # numpy 'linear' == Spark/DuckDB
+        p95=lambda s: np.percentile(s, 95),
+        n_points="count",
+    ).reset_index().sort_values(["k", "bucket"]).reset_index(drop=True)
+    assert np.allclose(got["p50"], want["p50"])
+    assert np.allclose(got["p95"], want["p95"])
+    assert np.array_equal(got["n_points"].to_numpy(), want["n_points"].to_numpy())
+
+
+def test_analytics_error_contracts(pts):
+    _, df = pts
+    with pytest.raises(IntervalSchemaError, match="counter_reset"):
+        rate(df, "t", "v", ["k"], counter_reset="wrap")
+    with pytest.raises(IntervalSchemaError, match="unknown aggs"):
+        rolling(df, "t", "v", 10, ["k"], aggs=("median",))
+    with pytest.raises(IntervalSchemaError, match="window"):
+        rolling(df, "t", "v", -1, ["k"])
+    with pytest.raises(IntervalSchemaError, match="outside"):
+        windowed_percentiles(df, "t", "v", 10, [1.5], ["k"])
+    with pytest.raises(IntervalSchemaError, match="missing"):
+        rate(df, "nope", "v", ["k"])
