@@ -74,6 +74,9 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "fill_daily_events",
         "m4_daily_events",
         "sessionize_events",
+        "coalesce_orders",
+        "rolling_1h_events",
+        "percentiles_daily_events",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")

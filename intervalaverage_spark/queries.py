@@ -949,9 +949,12 @@ def _events_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete derivative Δv/Δt per user over the gauge series."""
     out = rate(_events_pts(spark, sf_dir), "t", "value", ["user_id"])
+    # + 0.0 normalizes IEEE −0.0 (a tiny negative Δv rounds to it) to
+    # +0.0 — DuckDB and Spark disagree on which zero ROUND emits, and
+    # the driver's value-hash distinguishes them
     return out.select(
         "user_id", "t", F.round("value", 6).alias("value"),
-        F.round("rate", 6).alias("rate"),
+        (F.round("rate", 6) + F.lit(0.0)).alias("rate"),
     )
 
 
@@ -960,7 +963,7 @@ WITH {EVENTS_PTS_SQL}
 SELECT user_id, t, ROUND(value, 6) AS value,
        ROUND(CASE WHEN t > lag(t) OVER w
                   THEN (value - lag(value) OVER w) / (t - lag(t) OVER w)
-             END, 6) AS rate
+             END, 6) + 0 AS rate
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
 """
 
