@@ -289,6 +289,34 @@ def main() -> None:
         ),
     )
 
+    # 12. series analytics: RANGE-frame rolling + rate share one exchange
+    add(
+        "rolling 1h RANGE-frame aggregates",
+        q.q_rolling_1h_events(spark, sf),
+        must=["Window"],
+        must_not=["Join", "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Time-distance moving aggregates: one exchange on the key, one "
+            "sort, RANGE frame evaluated inside the window operator — no "
+            "self-join against a shifted copy (the naive formulation)."
+        ),
+    )
+
+    # 13. exact windowed percentiles: ObjectHashAggregate is expected and
+    # bounded (per-bucket value buffer), never a global sort
+    add(
+        "windowed exact percentiles",
+        q.q_percentiles_daily_events(spark, sf),
+        must=["Aggregate"],
+        must_not=["Join", "BatchEvalPython", "Exchange SinglePartition"],
+        note=(
+            "Exact percentile keeps a per-(key, bucket) value buffer "
+            "(ObjectHashAggregate) — bounded by bucket row count, sharded "
+            "by the groupBy shuffle; the documented swap to "
+            "approx_percentile covers unbounded panels."
+        ),
+    )
+
     sections.append(
         "## Notes\n\n"
         "- `FlatMapGroupsInPandas`/`MapInPandas` appear ONLY in the Gorilla "
