@@ -40,9 +40,9 @@ from intervalaverage_spark.plans.layout import DAY
 def validate_policies(policies: dict[str, int | None]) -> None:
     """Horizons must be non-decreasing with tier width: the coarser the
     tier, the longer (or equally long / forever=None) it is kept."""
-    known = [t for t in policies if t not in TIER_WIDTHS]
-    if known:
-        raise ValueError(f"unknown tiers in policy: {known} (have {list(TIER_WIDTHS)})")
+    unknown = [t for t in policies if t not in TIER_WIDTHS]
+    if unknown:
+        raise ValueError(f"unknown tiers in policy: {unknown} (have {list(TIER_WIDTHS)})")
     ordered = sorted(policies, key=lambda t: TIER_WIDTHS[t])
     prev_t, prev_keep = None, None
     for t in ordered:

@@ -1,24 +1,30 @@
 """Series analytics: rate/derivative, time-range rolling aggregates,
-exact windowed percentiles.
+exact + approximate windowed percentiles.
 
 The read-side toolkit a monitoring/telemetry engine layers over tier
 points (PromQL's rate/irate, SQL's RANGE-frame moving aggregates,
-percentile panels). All three are single-exchange window/groupBy shapes
-— no joins, no UDFs, whole-stage codegen except the percentile buffer
-(Spark's exact percentile is an ObjectHashAggregate with a per-group
-value buffer — bounded by the bucket's row count; use approx_percentile
-for unbounded-cardinality panels at extreme scale).
+percentile panels). All are single-exchange window/groupBy shapes —
+no UDFs; the only non-codegen node is the percentile buffer (see
+:func:`windowed_percentiles` for the exact/approx trade-off).
+
+Skew: a window partitioned only by the group key puts an entire hot key
+in one task. :func:`rate` takes ``bucket_width`` — the same time-slicing
+skew path as ``operators/asof.py`` (bucket the window by
+``(key, floor(t/width))``, resolve the cross-bucket boundary with a
+1-row-per-bucket carry) — so a hot key spreads across its time buckets.
+Equality with the flat path is property-tested
+(tests/test_property_hypothesis.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from intervalaverage_spark.plans.rangejoin import fdiv
-from intervalaverage_spark.validation import IntervalSchemaError
+from intervalaverage_spark.validation import IntervalDataError, IntervalSchemaError
 
 _AGGS = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
 
@@ -29,6 +35,32 @@ def _need(df: DataFrame, *cols: str) -> None:
             raise IntervalSchemaError(f"missing column {c!r}")
 
 
+def _no_clash(df: DataFrame, *cols: str) -> None:
+    clash = [c for c in cols if c in df.columns]
+    if clash:
+        raise IntervalSchemaError(f"output column(s) {clash} already exist")
+
+
+def check_unique_ts(df: DataFrame, ts_col: str, group_vars: Sequence[str]) -> None:
+    """Raise :class:`IntervalDataError` if any (key, ts) appears more than
+    once — the eager analogue of the reference's non-overlap validation
+    (R/intervalaverage_functions.R:307-338, skippable there too). One
+    aggregate + head(1): the collect is bounded to a single row."""
+    dup = (
+        df.groupBy(*group_vars, ts_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .head(1)
+    )
+    if dup:
+        keys = {c: dup[0][c] for c in (*group_vars, ts_col)}
+        raise IntervalDataError(
+            f"duplicate (key, {ts_col}) rows — e.g. {keys} appears "
+            f"{dup[0]['count']} times; the matched predecessor would be "
+            "sort-order-dependent. Dedup upstream or aggregate first."
+        )
+
+
 def rate(
     df: DataFrame,
     ts_col: str,
@@ -36,6 +68,8 @@ def rate(
     group_vars: Sequence[str],
     counter_reset: str = "none",
     out_col: str = "rate",
+    bucket_width: int | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Per-key discrete derivative ``Δv/Δt`` between consecutive points.
 
@@ -46,22 +80,62 @@ def rate(
 
     First point per key (no predecessor) and duplicate timestamps
     (Δt = 0) yield NULL — dedup upstream for unique-ts series, same
-    contract as operators/asof.py."""
+    contract as operators/asof.py; ``validate=True`` checks it eagerly
+    (one bounded aggregate, default off — the reference's skippable
+    eager-validation split, SURVEY §4 #7).
+
+    ``bucket_width`` (the skew path): partition the window by
+    ``(key, floor(t/width))`` instead of key alone, so a hot key spreads
+    across its time buckets. The predecessor of each bucket's first row
+    is resolved by a carry table of ONE row per (key, bucket) — the last
+    point of each bucket, scanned with a window over buckets — joined
+    back on (key, bucket). Two cheap exchanges + one equi join, all
+    spread; identical results to the flat path (property-tested)."""
     if counter_reset not in ("none", "zero"):
         raise IntervalSchemaError(
             f"counter_reset must be none/zero, got {counter_reset!r}")
     group_vars = list(group_vars)
     _need(df, ts_col, value_col, *group_vars)
+    _no_clash(df, out_col)
+    if validate:
+        check_unique_ts(df, ts_col, group_vars)
     t = F.col(ts_col).cast("long")
     v = F.col(value_col).cast("double")
-    w = Window.partitionBy(*group_vars).orderBy(t)
-    pt, pv = F.lag(t).over(w), F.lag(v).over(w)
+    orig_cols = df.columns
+
+    if bucket_width is None:
+        w = Window.partitionBy(*group_vars).orderBy(t)
+        prev = F.lag(F.struct(t.alias("t"), v.alias("v"))).over(w)
+        src = df
+    else:
+        if bucket_width <= 0:
+            raise IntervalSchemaError(
+                f"bucket_width must be positive, got {bucket_width}")
+        _no_clash(df, "__rbk", "__rcarry")
+        src = df.withColumn("__rbk", fdiv(t, bucket_width))
+        wb = Window.partitionBy(*group_vars, "__rbk").orderBy(t)
+        inb = F.lag(F.struct(t.alias("t"), v.alias("v"))).over(wb)
+        # carry: last point of each (key, bucket); the predecessor of a
+        # bucket's first row is the previous PRESENT bucket's last point
+        # (every bucket key in the carry table holds >=1 row, so lag(1)
+        # over buckets is exactly "last point in any earlier bucket").
+        b = src.groupBy(*group_vars, "__rbk").agg(
+            F.max_by(F.struct(t.alias("t"), v.alias("v")), t).alias("__blast")
+        )
+        wc = Window.partitionBy(*group_vars).orderBy("__rbk")
+        carry = b.select(
+            *group_vars, "__rbk", F.lag("__blast").over(wc).alias("__rcarry")
+        )
+        src = src.join(carry, on=[*group_vars, "__rbk"], how="left")
+        prev = F.when(inb.isNull(), F.col("__rcarry")).otherwise(inb)
+
+    pt, pv = prev.getField("t"), prev.getField("v")
     dv = (
         F.when(v >= pv, v - pv).otherwise(v)
         if counter_reset == "zero" else v - pv
     )
-    return df.select(
-        "*", F.when(t > pt, dv / (t - pt)).alias(out_col)
+    return src.select(
+        *orig_cols, F.when(t > pt, dv / (t - pt)).alias(out_col)
     )
 
 
@@ -77,7 +151,13 @@ def rolling(
     with ``t' ∈ [t − window, t]`` (closed, in ``ts_col`` units — event
     spacing doesn't matter, unlike ROWS frames). Appends
     ``<value>_roll_<agg>`` per requested agg. One exchange; all frames
-    share the single (key, t) sort."""
+    share the single (key, t) sort.
+
+    No ``bucket_width`` twin: a RANGE frame reaches back ``window`` time
+    units, so time-slicing would need a carry of up to ``window``-worth
+    of ROWS per bucket boundary (not 1 row) — at that point the carry IS
+    the hot partition. Mitigation for hot keys is the key model itself
+    (url-hash keys) or pre-aggregating to a coarser tier first."""
     group_vars = list(group_vars)
     _need(df, ts_col, value_col, *group_vars)
     bad = [a for a in aggs if a not in _AGGS]
@@ -85,6 +165,7 @@ def rolling(
         raise IntervalSchemaError(f"unknown aggs {bad}; choose from {sorted(_AGGS)}")
     if window < 0:
         raise IntervalSchemaError(f"window must be >= 0, got {window}")
+    _no_clash(df, *[f"{value_col}_roll_{a}" for a in aggs])
     t = F.col(ts_col).cast("long")
     w = (
         Window.partitionBy(*group_vars)
@@ -99,6 +180,16 @@ def rolling(
     return df.select("*", *cols)
 
 
+def percentile_col_name(p: float) -> str:
+    """``0.5 → p50``, ``0.95 → p95``, ``1.0 → p100``, ``0.0 → p00``,
+    ``0.999 → p99_9`` — numeric derivation, never a ``.`` in the name
+    (a dot breaks unquoted downstream references)."""
+    n = round(p * 100, 9)
+    if abs(n - round(n)) < 1e-9:
+        return f"p{int(round(n)):02d}"
+    return "p" + f"{n:g}".replace(".", "_").replace("-", "m")
+
+
 def windowed_percentiles(
     df: DataFrame,
     ts_col: str,
@@ -106,11 +197,30 @@ def windowed_percentiles(
     bucket_width: int,
     percentiles: Sequence[float],
     group_vars: Sequence[str],
+    exact: bool = True,
+    accuracy: int = 10000,
+    names: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Exact linear-interpolation percentiles of ``value_col`` per
-    (key, time bucket) — the panel query. Output: group_vars…, bucket,
-    ``p<pct>`` per requested percentile, n_points. NULL values excluded
-    (bucket of only NULLs → NULL percentiles, n_points still counts)."""
+    """Percentiles of ``value_col`` per (key, time bucket) — the panel
+    query. Output: group_vars…, bucket, one column per requested
+    percentile (``names`` overrides the derived ``p<pct>`` labels),
+    n_points. NULL values excluded (bucket of only NULLs → NULL
+    percentiles, n_points still counts).
+
+    ``exact=True`` uses Spark's exact linear-interpolation ``percentile``
+    — an ObjectHashAggregate whose per-group state buffers EVERY value in
+    the bucket; fine while buckets are bounded (a (key, day) bucket), a
+    memory hazard for unbounded-cardinality panels.
+
+    ``exact=False`` switches to ``percentile_approx`` (Greenwald-Khanna
+    quantile summaries at ``accuracy``; rank error ≤ 1/accuracy). The
+    physical node is still an ObjectHashAggregate — Spark implements both
+    as TypedImperativeAggregates — but the state per group is a bounded,
+    MERGEABLE sketch of O(accuracy·log n) entries instead of all n
+    values, so map-side partial aggregation does real reduction and no
+    bucket can blow executor memory regardless of its row count. That
+    bounded-state property (not the node name) is what makes it the
+    10^12-row panel path; see BENCH/PLANS.md §percentiles."""
     group_vars = list(group_vars)
     _need(df, ts_col, value_col, *group_vars)
     for p in percentiles:
@@ -118,15 +228,23 @@ def windowed_percentiles(
             raise IntervalSchemaError(f"percentile {p} outside [0, 1]")
     if bucket_width <= 0:
         raise IntervalSchemaError(f"bucket_width must be positive, got {bucket_width}")
+    if accuracy <= 0:
+        raise IntervalSchemaError(f"accuracy must be positive, got {accuracy}")
+    if names is None:
+        names = [percentile_col_name(p) for p in percentiles]
+    elif len(names) != len(percentiles):
+        raise IntervalSchemaError(
+            f"{len(names)} names for {len(percentiles)} percentiles")
     t = F.col(ts_col).cast("long")
-    pct = F.percentile(
-        F.col(value_col).cast("double"),
-        F.array(*[F.lit(float(p)) for p in percentiles]),
-    )
+    varr = F.col(value_col).cast("double")
+    parr = F.array(*[F.lit(float(p)) for p in percentiles])
+    if exact:
+        pct = F.percentile(varr, parr)
+    else:
+        pct = F.percentile_approx(varr, parr, F.lit(int(accuracy)))
     agg = df.groupBy(*group_vars, fdiv(t, bucket_width).alias("bucket")).agg(
         pct.alias("__p"), F.count(F.lit(1)).alias("n_points")
     )
-    names = [f"p{str(p).replace('0.', '').ljust(2, '0')}" for p in percentiles]
     return agg.select(
         *group_vars, "bucket",
         *[F.col("__p").getItem(i).alias(n) for i, n in enumerate(names)],

@@ -53,6 +53,7 @@ def asof_join(
     tolerance: int | None = None,
     bucket_width: int | None = None,
     suffix: str = "_right",
+    validate: bool = False,
 ) -> DataFrame:
     """For each left row, attach the closest right row per key.
 
@@ -68,8 +69,9 @@ def asof_join(
     Right rows must be unique per (key, ``right_ts``) — the analogue of
     the reference's non-overlapping-x requirement
     (R/intervalaverage_functions.R:324-338): with duplicates the matched
-    payload is sort-order-dependent. Not validated (a distributed
-    uniqueness check costs a full aggregate); dedup upstream.
+    payload is sort-order-dependent. ``validate=True`` checks it eagerly
+    (one aggregate + a single-row head, the reference's skippable
+    eager-validation philosophy); default off — dedup upstream.
     """
     if direction not in ("backward", "forward"):
         raise IntervalSchemaError(f"direction must be backward/forward, got {direction!r}")
@@ -86,22 +88,28 @@ def asof_join(
     clash = [f"{c}{suffix}" for c in (right_ts, *right_cols) if f"{c}{suffix}" in left.columns]
     if clash:
         raise IntervalSchemaError(f"suffix {suffix!r} collides with left columns {clash}")
+    if validate:
+        from intervalaverage_spark.operators.analytics import check_unique_ts
+
+        check_unique_ts(right, right_ts, on)
 
     pay = F.struct(
         F.col(right_ts).cast("long").alias("__rt"),
         *[F.col(c).alias(c) for c in right_cols],
     )
     left_pay_cols = [c for c in left.columns]
+    # field list built as ONE join so an empty right_cols yields the valid
+    # "struct<__rt:bigint>" (not a trailing comma → opaque DDL parse error)
+    rpay_ddl = "struct<" + ",".join(
+        ["__rt:bigint"]
+        + [f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols]
+    ) + ">"
     l2 = left.select(
         *on,
         F.col(left_ts).cast("long").alias("__t"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c).alias(c) for c in left_pay_cols]).alias("__lpay"),
-        F.lit(None).cast(
-            "struct<__rt:bigint," + ",".join(
-                f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_cols
-            ) + ">"
-        ).alias("__rpay"),
+        F.lit(None).cast(rpay_ddl).alias("__rpay"),
     )
     r2 = right.select(
         *on,

@@ -32,7 +32,7 @@ def test_rate_gauge_matches_pandas(pts):
     got = rate(df, "t", "v", ["k"]).toPandas().sort_values(
         ["k", "t"]).reset_index(drop=True)
     p = pdf.sort_values(["k", "t"]).reset_index(drop=True)
-    want = p.groupby("k", group_keys=False).apply(
+    want = p.groupby("k", group_keys=False)[["t", "v"]].apply(
         lambda g: (g["v"].diff() / g["t"].diff()))
     assert np.allclose(got["rate"].fillna(-9), want.fillna(-9))
 
@@ -97,3 +97,90 @@ def test_analytics_error_contracts(pts):
         windowed_percentiles(df, "t", "v", 10, [1.5], ["k"])
     with pytest.raises(IntervalSchemaError, match="missing"):
         rate(df, "nope", "v", ["k"])
+
+
+def test_percentile_col_names_numeric_derivation():
+    from intervalaverage_spark.operators.analytics import percentile_col_name
+
+    # endpoints and sub-percent precision: no '.' ever appears in a name
+    assert [percentile_col_name(p) for p in (0.0, 0.05, 0.5, 0.95, 0.999, 1.0)] \
+        == ["p00", "p05", "p50", "p95", "p99_9", "p100"]
+
+
+def test_windowed_percentiles_caller_names_and_endpoints(pts):
+    pdf, df = pts
+    got = windowed_percentiles(
+        df, "t", "v", 100000, [0.0, 1.0], ["k"], names=["lo", "hi"]
+    ).toPandas().sort_values(["k", "bucket"]).reset_index(drop=True)
+    p = pdf.copy()
+    p["bucket"] = p["t"] // 100000
+    want = p.groupby(["k", "bucket"])["v"].agg(lo="min", hi="max").reset_index()
+    want = want.sort_values(["k", "bucket"]).reset_index(drop=True)
+    assert np.allclose(got["lo"], want["lo"])
+    assert np.allclose(got["hi"], want["hi"])
+
+
+def test_windowed_percentiles_approx_rank_bound(pts):
+    """approx path: each returned value is an actual element of its bucket
+    whose rank is within the Greenwald-Khanna guarantee (n/accuracy, +1
+    for the discrete-vs-interpolated convention)."""
+    pdf, df = pts
+    acc = 10000
+    got = windowed_percentiles(
+        df, "t", "v", 10000, [0.5, 0.95], ["k"], exact=False, accuracy=acc
+    ).toPandas()
+    p = pdf.copy()
+    p["bucket"] = p["t"] // 10000
+    groups = {k: np.sort(g["v"].to_numpy()) for k, g in p.groupby(["k", "bucket"])}
+    for _, row in got.iterrows():
+        vals = groups[(row["k"], row["bucket"])]
+        n = len(vals)
+        for q, col in ((0.5, "p50"), (0.95, "p95")):
+            idx = np.searchsorted(vals, row[col])
+            assert idx < n and np.isclose(vals[idx], row[col]), \
+                "approx percentile must be an element of the bucket"
+            target = q * (n - 1)
+            assert abs(idx - target) <= n / acc + 1
+
+
+def test_windowed_percentiles_approx_bounded_state_plan(pts):
+    """Both paths aggregate via TypedImperativeAggregate
+    (ObjectHashAggregate); the approx path's value is BOUNDED per-group
+    state. Assert the plan uses percentile_approx (the mergeable sketch),
+    not the buffer-everything exact percentile."""
+    _, df = pts
+    plan = windowed_percentiles(
+        df, "t", "v", 10000, [0.5], ["k"], exact=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan
+
+
+def test_rate_bucketed_equals_flat_on_seeded(pts):
+    pdf, df = pts
+    flat = rate(df, "t", "v", ["k"]).toPandas().sort_values(
+        ["k", "t"]).reset_index(drop=True)
+    buck = rate(df, "t", "v", ["k"], bucket_width=500).toPandas().sort_values(
+        ["k", "t"]).reset_index(drop=True)
+    assert np.allclose(flat["rate"].fillna(-9), buck["rate"].fillna(-9))
+
+
+def test_rate_validate_raises_on_duplicate_ts(spark):
+    from intervalaverage_spark.validation import IntervalDataError
+
+    dup = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [5, 5], "v": [1.0, 2.0]}))
+    with pytest.raises(IntervalDataError, match="duplicate"):
+        rate(dup, "t", "v", ["k"], validate=True)
+    # and the non-duplicated frame passes the same check
+    ok = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [5, 6], "v": [1.0, 2.0]}))
+    assert rate(ok, "t", "v", ["k"], validate=True).count() == 2
+
+
+def test_analytics_output_collision_guards(pts):
+    _, df = pts
+    with pytest.raises(IntervalSchemaError, match="already exist"):
+        rate(df, "t", "v", ["k"], out_col="v")
+    with pytest.raises(IntervalSchemaError, match="already exist"):
+        rolling(df.withColumn("v_roll_mean", F.lit(0.0)), "t", "v", 10, ["k"])

@@ -173,3 +173,33 @@ def test_fill_missing_column_raises(fill_df):
     _, df = fill_df
     with pytest.raises(IntervalSchemaError, match="missing"):
         locf(df, "t", ["nope"], ["k"])
+
+
+def test_asof_empty_right_cols_returns_matched_ts(spark):
+    # right side with only key+ts: the payload struct is just __rt —
+    # regression for the trailing-comma DDL bug
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k int, ts int")
+    right = spark.createDataFrame([(1, 5), (1, 15)], "k int, ts int")
+    out = asof_join(left, right, ["k"], right_cols=[]).collect()
+    assert sorted((r["k"], r["ts"], r["ts_right"]) for r in out) \
+        == [(1, 10, 5), (1, 20, 15)]
+
+
+def test_asof_validate_duplicate_right_ts(spark):
+    from intervalaverage_spark.validation import IntervalDataError
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 5, 1.0), (1, 5, 2.0)],
+                                  "k int, ts int, rv double")
+    with pytest.raises(IntervalDataError, match="duplicate"):
+        asof_join(left, right, ["k"], validate=True)
+    ok = spark.createDataFrame([(1, 5, 1.0), (1, 6, 2.0)],
+                               "k int, ts int, rv double")
+    assert asof_join(left, ok, ["k"], validate=True).count() == 1
+
+
+def test_fill_output_collision_guard(spark):
+    df = spark.createDataFrame([(1, 1, 1.0, 2.0)],
+                               "k int, t int, v double, v_filled double")
+    with pytest.raises(IntervalSchemaError, match="already exist"):
+        locf(df, "t", ["v"], ["k"])

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import bisect
 
+import numpy as np
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -94,3 +95,60 @@ def test_asof_backward_vs_python_bisect(spark, lt, rt, bw):
         assert got == m
         if m is not None:
             assert row["rv_right"] == float(m)
+
+
+series = st.lists(
+    st.tuples(st.integers(0, 300), st.one_of(st.none(), st.floats(
+        -100, 100, allow_nan=False))),
+    min_size=1, max_size=40, unique_by=lambda r: r[0],
+)
+
+
+def _fill_frames(spark, pts):
+    pdf = pd.DataFrame({"k": 1, "t": [t for t, _ in pts],
+                        "v": [v for _, v in pts]}).astype({"v": "float64"})
+    return spark.createDataFrame(pdf)
+
+
+@SET
+@given(pts=series, bw=st.integers(1, 100),
+       limit=st.one_of(st.none(), st.integers(0, 50)))
+def test_locf_nocb_bucketed_equals_flat(spark, pts, bw, limit):
+    from intervalaverage_spark.operators.fill import locf, nocb
+
+    df = _fill_frames(spark, pts)
+    for op in (locf, nocb):
+        flat = op(df, "t", ["v"], ["k"], limit=limit).toPandas().sort_values("t")
+        buck = op(df, "t", ["v"], ["k"], limit=limit,
+                  bucket_width=bw).toPandas().sort_values("t")
+        assert flat["v_filled"].fillna(-1e18).tolist() \
+            == buck["v_filled"].fillna(-1e18).tolist(), op.__name__
+
+
+@SET
+@given(pts=series, bw=st.integers(1, 100))
+def test_interpolate_bucketed_equals_flat(spark, pts, bw):
+    from intervalaverage_spark.operators.fill import interpolate_linear
+
+    df = _fill_frames(spark, pts)
+    flat = interpolate_linear(df, "t", ["v"], ["k"]).toPandas().sort_values("t")
+    buck = interpolate_linear(df, "t", ["v"], ["k"],
+                              bucket_width=bw).toPandas().sort_values("t")
+    f = flat["v_filled"].to_numpy()
+    b = buck["v_filled"].to_numpy()
+    assert ((pd.isna(f) & pd.isna(b)) | np.isclose(f, b, equal_nan=True)).all()
+
+
+@SET
+@given(pts=series, bw=st.integers(1, 100),
+       reset=st.sampled_from(["none", "zero"]))
+def test_rate_bucketed_equals_flat(spark, pts, bw, reset):
+    from intervalaverage_spark.operators.analytics import rate as _rate
+
+    df = _fill_frames(spark, pts)
+    flat = _rate(df, "t", "v", ["k"], counter_reset=reset).toPandas(
+    ).sort_values("t")
+    buck = _rate(df, "t", "v", ["k"], counter_reset=reset,
+                 bucket_width=bw).toPandas().sort_values("t")
+    f, b = flat["rate"].to_numpy(), buck["rate"].to_numpy()
+    assert ((pd.isna(f) & pd.isna(b)) | np.isclose(f, b, equal_nan=True)).all()
