@@ -86,10 +86,12 @@ def _events_grid(spark: SparkSession, sf_dir: str, width: int) -> DataFrame:
     return tier_grid(x.select("user_id").distinct(), lohi["lo"], lohi["hi"], width)
 
 
-def _ia_oracle_sql(width: int, rp: float, sparse: bool) -> str:
+def _ia_oracle_from(x_sql: str, k: str, width: int, rp: float, sparse: bool) -> str:
     """interval_average / tier-rollup oracle: range join + weighted sums +
-    gaps-and-islands maxgap on the unit grid. ``sparse`` keeps only covered
-    windows (tier-state semantics); else dense grid with gap-fill rows.
+    gaps-and-islands maxgap on the unit grid, parameterized over the x CTE
+    (must define ``x({k}, xs, xe, v)``) and the group-key column ``k``.
+    ``sparse`` keeps only covered windows (tier-state semantics); else
+    dense grid with gap-fill rows.
 
     Σw·v accumulates in DECIMAL(38,12) — weights are exact integers, so the
     sum is exact, order-free and engine-independent; the compared ``value``
@@ -103,22 +105,22 @@ def _ia_oracle_sql(width: int, rp: float, sparse: bool) -> str:
     )
     src = "JOIN" if sparse else "LEFT JOIN"
     return f"""
-WITH {X_EVENTS_SQL},
+WITH {x_sql},
 b AS (SELECT CAST(floor(min(xs)/{width}.0) AS BIGINT) AS k0,
              CAST(floor(max(xe)/{width}.0) AS BIGINT) AS k1 FROM x),
 y AS (
-  SELECT user_id, {width}*k AS ys, {width}*k + {width} - 1 AS ye
-  FROM (SELECT DISTINCT user_id FROM x), b, (SELECT UNNEST(generate_series(k0, k1)) AS k FROM b) ks
+  SELECT {k}, {width}*k AS ys, {width}*k + {width} - 1 AS ye
+  FROM (SELECT DISTINCT {k} FROM x), b, (SELECT UNNEST(generate_series(k0, k1)) AS k FROM b) ks
 ),
 pairs AS (
-  SELECT y.user_id, y.ys, y.ye,
+  SELECT y.{k}, y.ys, y.ye,
          GREATEST(x.xs, y.ys) AS os, LEAST(x.xe, y.ye) AS oe, x.v
-  FROM y JOIN x ON x.user_id = y.user_id AND x.xe >= y.ys AND x.xs <= y.ye
+  FROM y JOIN x ON x.{k} = y.{k} AND x.xe >= y.ys AND x.xs <= y.ye
 ),
 agg AS (
   -- integer sums cast back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT,
   -- which pandas renders as float64 and breaks the driver's value compare
-  SELECT user_id, ys, ye,
+  SELECT {k}, ys, ye,
          CAST(SUM(oe - os + 1) AS BIGINT) AS xduration,
          MIN(os) AS xminstart, MAX(oe) AS xmaxend,
          SUM(CASE WHEN v IS NOT NULL
@@ -127,24 +129,24 @@ agg AS (
          CAST(SUM(CASE WHEN v IS NOT NULL THEN oe - os + 1 END) AS BIGINT) AS nobs
   FROM pairs GROUP BY 1, 2, 3
 ),
-grid AS (SELECT user_id, ys, ye, UNNEST(generate_series(ys, ye)) AS t FROM y),
+grid AS (SELECT {k}, ys, ye, UNNEST(generate_series(ys, ye)) AS t FROM y),
 cov AS (
-  SELECT DISTINCT gr.user_id, gr.ys, gr.ye, gr.t
+  SELECT DISTINCT gr.{k}, gr.ys, gr.ye, gr.t
   FROM grid gr JOIN pairs p
-    ON p.user_id = gr.user_id AND p.ys = gr.ys AND p.ye = gr.ye
+    ON p.{k} = gr.{k} AND p.ys = gr.ys AND p.ye = gr.ye
    AND gr.t BETWEEN p.os AND p.oe AND p.v IS NOT NULL
 ),
 unc AS (
-  SELECT gr.user_id, gr.ys, gr.ye, gr.t,
-         gr.t - ROW_NUMBER() OVER (PARTITION BY gr.user_id, gr.ys, gr.ye ORDER BY gr.t) AS grp
-  FROM grid gr ANTI JOIN cov USING (user_id, ys, ye, t)
+  SELECT gr.{k}, gr.ys, gr.ye, gr.t,
+         gr.t - ROW_NUMBER() OVER (PARTITION BY gr.{k}, gr.ys, gr.ye ORDER BY gr.t) AS grp
+  FROM grid gr ANTI JOIN cov USING ({k}, ys, ye, t)
 ),
 gaps AS (
-  SELECT user_id, ys, ye, MAX(cnt) AS maxgap
-  FROM (SELECT user_id, ys, ye, grp, COUNT(*) AS cnt FROM unc GROUP BY 1, 2, 3, 4)
+  SELECT {k}, ys, ye, MAX(cnt) AS maxgap
+  FROM (SELECT {k}, ys, ye, grp, COUNT(*) AS cnt FROM unc GROUP BY 1, 2, 3, 4)
   GROUP BY 1, 2, 3
 )
-SELECT y.user_id, y.ys AS start, y.ye AS "end",
+SELECT y.{k}, y.ys AS start, y.ye AS "end",
        ROUND({value}, 6) AS value,
        y.ye - y.ys + 1 AS yduration,
        COALESCE(a.xduration, 0) AS xduration,
@@ -152,18 +154,22 @@ SELECT y.user_id, y.ys AS start, y.ye AS "end",
        CAST(a.xminstart AS DOUBLE) AS xminstart,
        CAST(a.xmaxend AS DOUBLE) AS xmaxend,
        COALESCE(g.maxgap, 0) AS maxgap_value
-FROM y {src} agg a ON a.user_id = y.user_id AND a.ys = y.ys AND a.ye = y.ye
-LEFT JOIN gaps g ON g.user_id = y.user_id AND g.ys = y.ys AND g.ye = y.ye
+FROM y {src} agg a ON a.{k} = y.{k} AND a.ys = y.ys AND a.ye = y.ye
+LEFT JOIN gaps g ON g.{k} = y.{k} AND g.ys = y.ys AND g.ye = y.ye
 """
 
 
-def _points_select(df: DataFrame) -> DataFrame:
+def _ia_oracle_sql(width: int, rp: float, sparse: bool) -> str:
+    return _ia_oracle_from(X_EVENTS_SQL, "user_id", width, rp, sparse)
+
+
+def _points_select(df: DataFrame, key: str = "user_id") -> DataFrame:
     # xminstart/xmaxend as DOUBLE: they are NULL for unmatched-y rows, and a
     # nullable integer column turns into float64 in the oracle's pandas
     # frame — casting BOTH engines to double keeps the compared dtype (and
     # hash) identical; values are way below 2^53, so the cast is exact.
     return df.select(
-        "user_id", "start", "end",
+        key, "start", "end",
         F.round(F.col("value"), 6).alias("value"),
         "yduration", "xduration", "nobs_value",
         F.col("xminstart").cast("double").alias("xminstart"),
@@ -1228,6 +1234,158 @@ FROM s2 GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------- lineitem (largest fixture)
+#
+# ~600k rows / 1000 suppliers at sf0.1 — 4× the next-largest driven table,
+# with realistic per-supplier skew. Two derived interval shapes:
+#
+#  * lineitem_x — per-supplier shipment-validity series (reference
+#    as-of/lead construction, same shape as events_x): one interval per
+#    distinct ship day, valid until the next shipment (tail capped at a
+#    week), value = that day's min quantity (deterministic dedup).
+#  * lineitem_raw — one OVERLAPPING interval per line item:
+#    [ship day, ship day + (orderkey + linenumber) mod 30] — the
+#    overlap-tolerant operators (intersect / coalesce) take these as-is.
+
+#: SQL twin of :func:`lineitem_x` (keep in lockstep!)
+LINEITEM_X_SQL = """
+pts AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS d,
+         min(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2
+),
+x AS (
+  SELECT suppkey, d AS xs,
+         COALESCE(lead(d) OVER (PARTITION BY suppkey ORDER BY d) - 1, d + 6) AS xe,
+         v
+  FROM pts
+)
+"""
+
+#: SQL twin of :func:`lineitem_raw` (keep in lockstep!)
+LINEITEM_RAW_SQL = """
+lraw AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS s,
+         (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+           + (l_orderkey + l_linenumber) % 30 AS e,
+         l_orderkey AS okey, l_linenumber AS lnum, l_quantity AS q
+  FROM lineitem
+)
+"""
+
+
+def lineitem_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = F.datediff("l_shipdate", F.lit("1970-01-01").cast("date")).cast("long")
+    pts = (
+        li.select(F.col("l_suppkey").alias("suppkey"), d.alias("d"), "l_quantity")
+        .groupBy("suppkey", "d")
+        .agg(F.min("l_quantity").alias("v"))
+    )
+    w = Window.partitionBy("suppkey").orderBy("d")
+    return pts.select(
+        "suppkey",
+        F.col("d").alias("start"),
+        F.coalesce(F.lead("d").over(w) - 1, F.col("d") + 6).alias("end"),
+        "v",
+    )
+
+
+def lineitem_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = F.datediff("l_shipdate", F.lit("1970-01-01").cast("date")).cast("long")
+    return li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        d.alias("s"),
+        (d + F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(30))).alias("e"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        F.col("l_quantity").alias("q"),
+    )
+
+
+def q_interval_average_lineitem_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship range join at the fixture's top cardinality: 533k
+    non-overlapping x intervals / 1000 suppliers (sf0.1) onto a dense
+    weekly grid — bucketed strategy, 4-week buckets."""
+    x = lineitem_x(spark, sf_dir).withColumnRenamed("v", "value").withColumn(
+        "value", F.col("value").cast(_VALUE_DEC)
+    )
+    lohi = x.agg(F.min("start").alias("lo"), F.max("end").alias("hi")).first()
+    y = tier_grid(x.select("suppkey").distinct(), lohi["lo"], lohi["hi"], 7)
+    out = interval_average(
+        x, y, ("start", "end"), ["value"], ["suppkey"],
+        required_percentage=50, validate=False,
+        strategy="bucket", bucket_width=28, sort=False,
+    )
+    return _points_select(out, key="suppkey")
+
+
+def q_interval_intersect_lineitem_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping raw line-item intervals clipped to weekly windows —
+    intersect tolerates overlap (only average demands disjoint x)."""
+    x = lineitem_raw(spark, sf_dir)
+    lohi = x.agg(F.min("s").alias("lo"), F.max("e").alias("hi")).first()
+    y = tier_grid(x.select("suppkey").distinct(), lohi["lo"], lohi["hi"], 7,
+                  "ws", "we")
+    out = interval_intersect(
+        x, y, {"s": "ws", "e": "we"}, group_vars=["suppkey"],
+        validate=False, strategy="bucket", bucket_width=14, sort=False,
+    )
+    return out.select("suppkey", "start", "end", "okey", "lnum",
+                      F.round(F.col("q"), 6).alias("q"))
+
+
+def q_coalesce_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal disjoint cover of each supplier's shipment intervals with
+    exact union accounting — heavy overlap by construction."""
+    x = lineitem_raw(spark, sf_dir).select("suppkey", "s", "e")
+    out = interval_coalesce(x, ("s", "e"), ["suppkey"], sort=False)
+    return out.select("suppkey", "start", "end", "n_intervals", "covered")
+
+
+II_LINEITEM_SQL = f"""
+WITH {LINEITEM_RAW_SQL},
+b AS (SELECT CAST(floor(min(s)/7.0) AS BIGINT) AS k0,
+             CAST(floor(max(e)/7.0) AS BIGINT) AS k1 FROM lraw),
+y AS (
+  SELECT suppkey, 7*k AS ws, 7*k + 6 AS we
+  FROM (SELECT DISTINCT suppkey FROM lraw), b,
+       (SELECT UNNEST(generate_series(k0, k1)) AS k FROM b) ks
+)
+SELECT y.suppkey, GREATEST(l.s, y.ws) AS start, LEAST(l.e, y.we) AS "end",
+       l.okey, l.lnum, ROUND(l.q, 6) AS q
+FROM y JOIN lraw l ON l.suppkey = y.suppkey AND l.e >= y.ws AND l.s <= y.we
+"""
+
+COALESCE_LINEITEM_SQL = f"""
+WITH {LINEITEM_RAW_SQL},
+w AS (
+  SELECT suppkey, s, e,
+         max(e) OVER (PARTITION BY suppkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM lraw
+),
+f AS (
+  SELECT *,
+         CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END AS brk,
+         GREATEST(0, e - GREATEST(s, COALESCE(pme + 1, s)) + 1) AS newcov
+  FROM w
+),
+i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY suppkey ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM f
+)
+SELECT suppkey, min(s) AS start, max(e) AS "end",
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(newcov) AS BIGINT) AS covered
+FROM i GROUP BY suppkey, island
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from intervalaverage_spark import queries_pipeline as qp
 
@@ -1259,6 +1417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_events": q_rate_events,
         "rolling_1h_events": q_rolling_1h_events,
         "percentiles_daily_events": q_percentiles_daily_events,
+        "interval_average_lineitem_weekly": q_interval_average_lineitem_weekly,
+        "interval_intersect_lineitem_weekly": q_interval_intersect_lineitem_weekly,
+        "coalesce_lineitem": q_coalesce_lineitem,
         **qp.queries(),
     }
 
@@ -1301,4 +1462,8 @@ def oracle_sql() -> dict[str, str]:
         "rate_events": RATE_EVENTS_SQL,
         "rolling_1h_events": ROLLING_1H_SQL,
         "percentiles_daily_events": PERCENTILES_DAILY_SQL,
+        "interval_average_lineitem_weekly": _ia_oracle_from(
+            LINEITEM_X_SQL, "suppkey", 7, 50.0, sparse=False),
+        "interval_intersect_lineitem_weekly": II_LINEITEM_SQL,
+        "coalesce_lineitem": COALESCE_LINEITEM_SQL,
     }
