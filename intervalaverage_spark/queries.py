@@ -746,6 +746,81 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_tier_1d_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming→batch tier handoff, end-to-end: the 1h point state is
+    computed by Structured Streaming (watermarked tumbling windows,
+    availableNow replay, append-mode PARQUET sink — the production
+    layout, not a memory sink), then the BATCH side reads that parquet
+    back, runs the sealed-hour repair (point state → validity intervals,
+    the as-of/lead construction) and the batch 1d tier rollup on top.
+
+    The oracle is the DIRECT-from-raw 1d tier (same SQL as
+    tier_rollup_1d_events) — a hash match proves the streamed parquet
+    state is batch-cascade-compatible: stream(1h)→batch(1d) ==
+    batch-direct(1d) cross-engine, the streaming analogue of the 30d
+    cascade equivalence.
+
+    A sentinel event far past the real data advances the final watermark
+    so append mode seals every real hour (same replay trick as
+    q_streaming_sessions_events); the sentinel key is dropped before the
+    batch stage. The hourly min() aggregates DOUBLEs (bit-exact through
+    parquet) and the decimal cast happens once, batch-side — the same
+    value path the direct query takes."""
+    import tempfile
+
+    sentinel_key = 10**9
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+        "value",
+    )
+    hi = ev.agg(F.max("ts").alias("m")).first()["m"]
+    sentinel = spark.createDataFrame(
+        [(sentinel_key, hi, None)], schema=ev.schema
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 HOURS"))
+    tmp = tempfile.mkdtemp(prefix="ia_tier_handoff_")
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(f"{tmp}/src")
+
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(f"{tmp}/src")
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(F.min("value").alias("v"))
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("w.start") / 3600).cast("long").alias("h"),
+            "v",
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{tmp}/state")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_tier_1d_handoff: availableNow query did not finish "
+            "within 300s; refusing to cascade a truncated state sink"
+        )
+    q.stop()
+
+    pts = spark.read.parquet(f"{tmp}/state").filter(
+        F.col("user_id") != sentinel_key
+    )
+    w = Window.partitionBy("user_id").orderBy("h")
+    x = pts.select(
+        "user_id",
+        F.col("h").alias("start"),
+        F.coalesce(F.lead("h").over(w) - 1, F.col("h") + 23).alias("end"),
+        F.col("v").cast(_VALUE_DEC).alias("value"),
+    )
+    st = rollup_from_raw(x, 24, ["value"], ["user_id"])
+    out = finalize(st, 24, ["value"], ["user_id"], required_percentage=0)
+    return _points_select(out)
+
+
 def q_cj_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = spark.read.parquet(f"{sf_dir}/region.parquet").select("r_name")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_name")
@@ -1420,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_average_lineitem_weekly": q_interval_average_lineitem_weekly,
         "interval_intersect_lineitem_weekly": q_interval_intersect_lineitem_weekly,
         "coalesce_lineitem": q_coalesce_lineitem,
+        "streaming_tier_1d_handoff": q_streaming_tier_1d_handoff,
         **qp.queries(),
     }
 
@@ -1466,4 +1542,7 @@ def oracle_sql() -> dict[str, str]:
             LINEITEM_X_SQL, "suppkey", 7, 50.0, sparse=False),
         "interval_intersect_lineitem_weekly": II_LINEITEM_SQL,
         "coalesce_lineitem": COALESCE_LINEITEM_SQL,
+        # streamed 1h parquet state + batch repair/rollup must equal the
+        # DIRECT 1d tier — the handoff proof is the oracle being the same
+        "streaming_tier_1d_handoff": _ia_oracle_sql(24, 0.0, sparse=True),
     }
