@@ -317,6 +317,72 @@ def main() -> None:
         ),
     )
 
+    # 14. approx percentiles: mergeable bounded-state sketch (the
+    # unbounded-panel path) — honest claim: the physical node is STILL an
+    # ObjectHashAggregate (Spark implements both percentile variants as
+    # TypedImperativeAggregates); what changes is per-group state = a
+    # Greenwald-Khanna summary of O(accuracy·log n) entries instead of
+    # ALL n values, so map-side partial aggregation does real reduction
+    # and no bucket can exhaust executor memory.
+    from intervalaverage_spark.operators.analytics import windowed_percentiles
+
+    add(
+        "windowed approx percentiles (bounded mergeable sketch state)",
+        windowed_percentiles(
+            q._events_pts(spark, sf), "t", "value", 86400, [0.5, 0.95],
+            ["user_id"], exact=False, accuracy=10000,
+        ),
+        must=["percentile_approx"],
+        must_not=["Join", "BatchEvalPython", "Exchange SinglePartition",
+                  "percentile("],
+        note=(
+            "exact=False swaps the buffer-everything exact percentile for "
+            "percentile_approx: same single-exchange groupBy shape, but "
+            "per-group state is a bounded mergeable quantile summary — "
+            "partial aggregation below the shuffle does real reduction, "
+            "and per-bucket memory is O(accuracy·log n) regardless of "
+            "bucket row count. This is the 10^12-row panel path the exact "
+            "section above defers to."
+        ),
+    )
+
+    # 15. bucketed (time-sliced) LOCF — the hot-key window path
+    from intervalaverage_spark.operators.fill import locf
+
+    pts15 = q._events_pts(spark, sf)
+    add(
+        "locf with bucket_width (time-sliced hot-key window)",
+        locf(pts15, "t", ["value"], ["user_id"], bucket_width=86400),
+        must=["Window"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "The fill window re-keys by (user, day-bucket) so a hot key "
+            "spreads across its time buckets; the cross-bucket carry is a "
+            "1-row-per-(key, bucket) aggregate + window + equi join — "
+            "every stage keyed by (key, bucket), nothing serializes on a "
+            "single hot key. Same bucket+carry design as the as-of join; "
+            "rate() shares it (operators/analytics.py)."
+        ),
+    )
+
+    # 16. lineitem interval_average — the flagship range join at the
+    # fixture's top cardinality (600k rows / 1000 suppliers at sf0.1)
+    add(
+        "interval_average over lineitem (top-cardinality bucketed range join)",
+        q.q_interval_average_lineitem_weekly(spark, sf),
+        must=["Join", "ReadSchema"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython",
+                  "FlatMapGroupsInPandas", "ObjectHashAggregate"],
+        note=(
+            "Same manufactured equi-join shape as the events query, at 4x "
+            "the interval cardinality and realistic per-supplier skew: "
+            "shipment-validity intervals x weekly grid on "
+            "(suppkey, 4-week bucket). Scan reads only "
+            "(l_suppkey, l_shipdate, l_quantity)."
+        ),
+    )
+
     sections.append(
         "## Notes\n\n"
         "- `FlatMapGroupsInPandas`/`MapInPandas` appear ONLY in the Gorilla "

@@ -36,7 +36,7 @@ def _warmup(spark, sf_dir: str) -> float:
     booked against whichever query happens to run first. Reported
     separately as ``warmup_seconds`` for transparency."""
     t0 = time.time()
-    for t in ("events", "orders", "documents", "embeddings"):
+    for t in ("events", "orders", "lineitem", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").groupBy().count().collect()
     return round(time.time() - t0, 3)
 
@@ -77,6 +77,9 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         "coalesce_orders",
         "rolling_1h_events",
         "percentiles_daily_events",
+        # round-4: the flagship range join at the fixture's top cardinality
+        # (600k lineitem rows / 1000 suppliers at sf0.1)
+        "interval_average_lineitem_weekly",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")

@@ -282,37 +282,93 @@ def _trailing_zeros(x: np.ndarray) -> np.ndarray:
 
 
 def _decode_vals(r: _BitReader, n: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.uint64)
-    prev = np.uint64(r.take(64))
-    out[0] = prev
+    """Two-pass value decode (round-4 dense-path rework, ~10× on
+    window-stable dense streams — BENCH/NOTES.md):
+
+    * pass 1 — a sequential TOKEN scan only: walk control bits via cheap
+      ``bytes[pos]`` probes, record (payload position, length, trailing
+      zeros) per non-repeat entry, bulk-skip '0'-entry runs through the
+      set-bit index. No payload is read here — per '10' token this is
+      two byte probes + integer adds, not an ``int.from_bytes`` slice.
+    * pass 2 — everything value-shaped vectorized: all payload bitfields
+      extracted at once (flat gather + shift + ``add.reduceat``) and the
+      XOR chain folded with ``np.bitwise_xor.accumulate`` (zero-run
+      entries contribute x=0, reproducing the repeat).
+    """
+    prev0 = np.uint64(r.take(64))
+    if n == 1:
+        r_out = np.array([prev0], dtype=np.uint64)
+        return r_out.view(np.float64)
+    arr = np.unpackbits(np.frombuffer(r.buf, dtype=np.uint8))
+    b = arr.tobytes()
+    ones = None  # set-bit skip index, built LAZILY on the first zero run
+    pos = r.pos
     p_lz = p_tz = -1
-    bits, ones = _bit_index(r.buf)
-    n_ones = len(ones)
+    ent_i: list[int] = []   # output slot (1-based) of each non-repeat entry
+    starts: list[int] = []
+    lens_: list[int] = []
+    tzs: list[int] = []
     i = 1
     while i < n:
-        # bulk: a '0'-entry run = the previous value repeated — one fill
-        # (probe inlined: dense streams pay one bytes[pos] check per entry)
-        if not bits[r.pos]:
-            j = int(np.searchsorted(ones, r.pos))
-            nxt = int(ones[j]) if j < n_ones else r.pos + (n - i)
-            zrun = min(nxt - r.pos, n - i)
-            out[i : i + zrun] = prev
-            r.pos += zrun
+        # bulk: a '0'-entry run = the previous value repeated — one skip
+        if not b[pos]:
+            if ones is None:
+                ones = np.flatnonzero(arr)
+            j = int(np.searchsorted(ones, pos))
+            nxt = int(ones[j]) if j < len(ones) else pos + (n - i)
+            zrun = min(nxt - pos, n - i)
+            pos += zrun
             i += zrun
             if i >= n:
                 break
-        r.pos += 1  # the '1' control bit
-        if r.take(1) == 0:  # '10' reuse window
+        pos += 1  # the '1' control bit
+        if not b[pos]:  # '10' reuse window
+            pos += 1
             ln = 64 - p_lz - p_tz
-            x = np.uint64(r.take(ln)) << np.uint64(p_tz)
-        else:  # '11' new window
-            p_lz = r.take(5)
-            ln = r.take(6) + 1
+        else:  # '11' new window: 5-bit lz + 6-bit (ln-1)
+            pos += 1
+            p_lz = ((b[pos] << 4) | (b[pos + 1] << 3) | (b[pos + 2] << 2)
+                    | (b[pos + 3] << 1) | b[pos + 4])
+            pos += 5
+            ln = ((b[pos] << 5) | (b[pos + 1] << 4) | (b[pos + 2] << 3)
+                  | (b[pos + 3] << 2) | (b[pos + 4] << 1) | b[pos + 5]) + 1
+            pos += 6
             p_tz = 64 - p_lz - ln
-            x = np.uint64(r.take(ln)) << np.uint64(p_tz)
-        prev = prev ^ x
-        out[i] = prev
+        ent_i.append(i)
+        starts.append(pos)
+        lens_.append(ln)
+        tzs.append(p_tz)
+        pos += ln
         i += 1
+    r.pos = pos
+
+    xs = np.zeros(n - 1, dtype=np.uint64)
+    if ent_i:
+        # Payload extraction WITHOUT an unpacked-bit gather: each field is
+        # ≤ 64 bits, so it lives inside the 16-byte window starting at its
+        # byte. Two big-endian uint64 reads per entry (O(n·16) bytes of
+        # temporaries — large fresh allocations are the measured bottleneck
+        # on this box, and the naive per-bit gather needs O(n·64·8)).
+        st = np.asarray(starts, dtype=np.int64)
+        ln_a = np.asarray(lens_, dtype=np.uint64)
+        buf = np.frombuffer(r.buf + b"\x00" * 16, dtype=np.uint8)
+        byte0 = (st >> 3).astype(np.int64)
+        win = buf[byte0[:, None] + np.arange(16, dtype=np.int64)]
+        hi = np.ascontiguousarray(win[:, :8]).view(">u8")[:, 0].astype(np.uint64)
+        lo = np.ascontiguousarray(win[:, 8:]).view(">u8")[:, 0].astype(np.uint64)
+        o = (st & 7).astype(np.uint64)
+        # align field start to bit 63 of a single uint64: (hi << o) | the
+        # spill-in from lo; shifts of 64 are UB, so feed a safe dummy and
+        # select with where
+        lo_shift = np.where(o == 0, np.uint64(1), np.uint64(64) - o)
+        aligned = np.where(o == 0, hi, (hi << o) | (lo >> lo_shift))
+        fields = aligned >> (np.uint64(64) - ln_a)
+        xs[np.asarray(ent_i, dtype=np.int64) - 1] = (
+            fields << np.asarray(tzs, dtype=np.uint64)
+        )
+    out = np.bitwise_xor.accumulate(
+        np.concatenate([np.array([prev0], dtype=np.uint64), xs])
+    )
     return out.view(np.float64)
 
 

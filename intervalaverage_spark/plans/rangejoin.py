@@ -52,15 +52,24 @@ def fdiv(c: Column, w: int) -> Column:
     return F.call_function("div", cl - F.pmod(cl, F.lit(w)), F.lit(w))
 
 
-def estimate_bucket_width(x: DataFrame, start: str, end: str, sample_rows: int = 100_000) -> int:
+def estimate_bucket_width(
+    x: DataFrame, start: str, end: str, sample_fraction: int = 16
+) -> int:
     """Heuristic bucket width ≈ p75 x-interval length: most intervals then
     hit 1-2 buckets, so the explode factor stays ~2 while buckets stay
-    selective. Estimated from the first ``sample_rows`` rows — ANY width
-    is correct (it only shapes the plan), so a cheap prefix sample beats a
-    full scan of a 100 TB table for a planning constant."""
+    selective. ANY width is correct (it only shapes the plan), but the
+    sample must be DETERMINISTIC so repeated jobs compile byte-identical
+    plans: a ``.limit(n)`` prefix of an unordered source varies run to
+    run, so instead keep the ~1/``sample_fraction`` of rows whose
+    ``xxhash64(start, end)`` lands in residue 0 — order-independent,
+    partition-independent, and pushed into the scan as a plain filter.
+    (p75 of a uniform hash-sample estimates p75 of the population; the
+    aggregate still reads only the sampled rows.)"""
+    s, e = F.col(start).cast("long"), F.col(end).cast("long")
     row = (
-        x.select((F.col(end).cast("long") - F.col(start).cast("long") + 1).alias("__len"))
-        .limit(sample_rows)
+        x.select((e - s + 1).alias("__len"),
+                 F.pmod(F.xxhash64(s, e), F.lit(sample_fraction)).alias("__h"))
+        .filter(F.col("__h") == 0)
         .agg(F.percentile_approx("__len", 0.75).alias("p75"))
         .first()
     )

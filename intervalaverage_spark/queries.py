@@ -661,6 +661,88 @@ def q_checkpoint_tier_1d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- Gorilla + streaming (oracled)
 
+def q_checkpoint_resume_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume economics made driver-visible: full write → mutate →
+    resume cycle with the job metrics AS the result rows.
+
+    Run 1 checkpoints the 1d tier over 8 url-hash-style buckets (all 8
+    recomputed — empty manifest). Then ONE user's values are mutated and
+    run 2 re-plans against the manifest: exactly the mutated user's
+    bucket recomputes, the other 7 skip, and dynamic partition overwrite
+    rewrites only that directory. ``resume_matches_direct`` witnesses
+    that the resumed state (7 old dirs + 1 recomputed) equals a direct
+    rollup of the mutated input — compared by order-insensitive modular
+    row-hash checksum, the same construction the lineage fingerprint
+    uses (plans/checkpoint.py fingerprint_partitions).
+
+    No oracle_sql: bucket membership is Spark xxhash64, which DuckDB
+    cannot reproduce — the driver records the rows-only check, and the
+    metrics themselves are deterministic (seeded fixture, fixed bucket
+    count)."""
+    import tempfile
+
+    from intervalaverage_spark.plans import checkpoint as ckpt
+
+    x = events_x(spark, sf_dir).withColumnRenamed("v", "value").withColumn(
+        "value", F.col("value").cast(_VALUE_DEC)
+    )
+    xb = ckpt.with_bucket(x, "user_id", 8)
+    tmp = tempfile.mkdtemp(prefix="ia_resume_q_")
+
+    def manifest_rows(fps):
+        return fps.select(
+            F.lit("1d").alias("tier"), "p",
+            F.col("fingerprint").alias("input_fingerprint"),
+            F.col("rows").alias("input_rows"),
+            F.lit(None).cast("long").alias("output_rows"),
+            F.lit(None).cast("long").alias("output_checksum"),
+        )
+
+    # run 1: empty manifest — everything recomputes
+    fps1 = ckpt.fingerprint_partitions(xb)
+    todo1, skipped1 = ckpt.plan_resume(fps1, ckpt.read_manifest(spark, tmp), "1d")
+    st1 = rollup_from_raw(xb, 24, ["value"], ["user_id", "p"])
+    ckpt.write_partitioned(st1, f"{tmp}/tier_1d", ("p",))
+    ckpt.write_manifest(manifest_rows(fps1), tmp)
+
+    # mutate one deterministic user's series → exactly one dirty bucket
+    uid = x.agg(F.min("user_id")).first()[0]
+    mut = xb.withColumn(
+        "value",
+        F.when(F.col("user_id") == uid, F.col("value") + 1).otherwise(F.col("value")),
+    )
+    fps2 = ckpt.fingerprint_partitions(mut)
+    todo2, skipped2 = ckpt.plan_resume(fps2, ckpt.read_manifest(spark, tmp), "1d")
+    st2 = rollup_from_raw(
+        mut.filter(F.col("p").isin([int(p) for p in todo2])),
+        24, ["value"], ["user_id", "p"],
+    )
+    ckpt.write_partitioned(st2, f"{tmp}/tier_1d", ("p",))
+    ckpt.write_manifest(manifest_rows(fps2), tmp)
+
+    def checksum(df: DataFrame) -> int:
+        cols = sorted(df.columns)
+        h = F.xxhash64(*[F.col(c).cast("string") for c in cols]).cast("decimal(38,0)")
+        row = df.agg(
+            F.pmod(F.sum(h), F.lit(9223372036854775783).cast("decimal(38,0)"))
+            .cast("long").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        return (row["c"], row["n"])
+
+    resumed = spark.read.parquet(f"{tmp}/tier_1d").withColumn(
+        "p", F.col("p").cast("long"))
+    direct = rollup_from_raw(mut, 24, ["value"], ["user_id", "p"])
+    match = checksum(resumed.select(*sorted(direct.columns))) == checksum(direct)
+
+    return spark.createDataFrame(
+        [("run1_cold", len(todo1), len(skipped1), bool(match)),
+         ("run2_after_one_user_mutation", len(todo2), len(skipped2), bool(match))],
+        "run string, buckets_recomputed int, buckets_skipped int, "
+        "resume_matches_direct boolean",
+    )
+
+
 def q_gorilla_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the deduped hourly event points into Gorilla segment blobs
     (weekly segments, coarse-bucketed applyInPandas) and decode them back:
@@ -1496,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_intersect_lineitem_weekly": q_interval_intersect_lineitem_weekly,
         "coalesce_lineitem": q_coalesce_lineitem,
         "streaming_tier_1d_handoff": q_streaming_tier_1d_handoff,
+        "checkpoint_resume_metrics": q_checkpoint_resume_metrics,
         **qp.queries(),
     }
 

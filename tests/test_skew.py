@@ -80,3 +80,16 @@ def test_salted_interval_average_identical(spark):
                     assert abs(va - vb) < 1e-9
                 else:
                     assert va == vb
+
+
+def test_estimate_bucket_width_deterministic_across_layouts(spark):
+    """The width sample is hash-based, so the SAME rows in a DIFFERENT
+    physical order/partitioning must choose the SAME width (repeated jobs
+    compile byte-identical plans)."""
+    from intervalaverage_spark.plans.rangejoin import estimate_bucket_width
+
+    x = _hot_intervals(spark)
+    w1 = estimate_bucket_width(x, "start", "end")
+    w2 = estimate_bucket_width(x.repartition(7, "domain"), "start", "end")
+    w3 = estimate_bucket_width(x.orderBy(F.desc("end")), "start", "end")
+    assert w1 == w2 == w3 >= 1
