@@ -45,8 +45,38 @@ def _warmup(spark, sf_dir: str) -> float:
 #: methodology change — cold vs warm — was only documented in prose)
 METHODOLOGY = (
     "warm-2nd-run; cold first-run alongside in queries_cold; rollup "
-    "JIT-warmed via a 200-page pre-run of the identical plan shapes"
+    "JIT-warmed via a 200-page pre-run of the identical plan shapes; "
+    "host_calibration stamps the VM's first-touch page-fault and CPU "
+    "speed (observed to swing ~35% round-to-round — compare ratios, "
+    "not absolutes, across rounds)"
 )
+
+
+def _host_calibration() -> dict:
+    """Two fixed single-thread micro-probes so cross-round absolute
+    timings can be normalized: this VM's first-touch page-fault rate has
+    been observed anywhere from ~80 MB/s to ~5 GB/s between rounds
+    (hypervisor regime invisible to the guest), which moves every
+    memory-heavy Spark stage by tens of percent."""
+    import numpy as _np
+
+    t0 = time.time()
+    for _ in range(3):
+        a = _np.empty(12_800_000, dtype=_np.int64)
+        a[:] = 1
+        del a
+    alloc = (time.time() - t0) / 3
+    x = _np.random.RandomState(0).rand(2_000_000)
+    t0 = time.time()
+    acc = 0.0
+    for _ in range(5):
+        acc += float((x * 1.0000001).sum())
+    cpu = (time.time() - t0) / 5
+    return {
+        "first_touch_100MB_sec": round(alloc, 4),
+        "cpu_2M_mul_sum_sec": round(cpu, 4),
+        "checksum": round(acc, 3),
+    }
 
 
 def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
@@ -347,6 +377,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "methodology": METHODOLOGY,
+        "host_calibration": _host_calibration(),
         "queries": r["queries"],
         "queries_cold": r.get("queries_cold", {}),
         "warmup_seconds": r.get("warmup_seconds", 0.0),
