@@ -299,6 +299,9 @@ def main() -> None:
         reps = int(os.environ.get("IA_SCALE_REPS", "5"))
         pairs = []
         for i in range(reps):
+            cal = _host_calibration()  # regime stamp: slow page faults ⇒
+            # the parallel leg (4× the allocation rate) suffers more, and
+            # the pair's efficiency reads low for host reasons
             r_lo = _run_once_subprocess(lo, sf_dir, n_pages)
             r_hi = _run_once_subprocess(hi, sf_dir, n_pages)
             eff_i = round(
@@ -312,6 +315,8 @@ def main() -> None:
                 f"local[{lo}]_seconds": r_lo["queries"]["webts_rollup_3tier"],
                 f"local[{hi}]_seconds": r_hi["queries"]["webts_rollup_3tier"],
                 "points": r_lo["rollup_points"],
+                "host_first_touch_100MB_sec": cal["first_touch_100MB_sec"],
+                "host_cpu_2M_mul_sum_sec": cal["cpu_2M_mul_sum_sec"],
                 "efficiency": eff_i,
             })
             print(json.dumps({"progress_pair": pairs[-1]}), flush=True)

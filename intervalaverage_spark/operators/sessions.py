@@ -7,11 +7,28 @@ key whose gaps stay ≤ ``gap`` become one session (gaps-and-islands).
 
 Plan: one window per key (lag + running sum of session-break flags) and,
 for bounds, one aggregate sharing the SAME (key) partitioning — Catalyst
-plans a single exchange for both. All codegen, no join, no UDF. The
-``bucket_width`` caveat of operators/asof.py does not apply: a session
-is defined by consecutive rows, so the window cannot be time-sliced
-without a carry pass; hot-key mitigation is the key model itself
-(url-granularity keys are ~uniform after hashing).
+plans a single exchange for both. All codegen, no join, no UDF.
+
+Skew (``bucket_width``, round 4): a session is defined by consecutive
+rows, so the window cannot be NAIVELY time-sliced — but cross-bucket
+merging is itself a gaps-and-islands problem at BUCKET granularity:
+
+1. sessionize within each ``(key, floor(t/width))`` bucket (hot key
+   spreads across its time buckets);
+2. per (key, bucket) summarize ``(min_t, max_t, n_sessions)`` — ONE row
+   per bucket;
+3. a bucket's first session continues the previous bucket's last session
+   iff ``min_t − prev_max_t ≤ gap`` (exactly the flat break condition
+   at the boundary row); a window over the tiny bucket table computes
+   that flag plus the running global-id offset
+   ``Σ (n_sessions − merged)`` over earlier buckets;
+4. join the offsets back on (key, bucket):
+   ``session_id = offset + local_id − merged``.
+
+Identical output to the flat path (hypothesis-tested, including the
+everything-merges ``gap ≥ width`` regime); two cheap exchanges + one
+equi join, every heavy stage keyed by (key, bucket). Same bucket+carry
+design as operators/asof.py / fill.py / analytics.rate.
 """
 
 from __future__ import annotations
@@ -21,6 +38,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from intervalaverage_spark.plans.rangejoin import fdiv
 from intervalaverage_spark.validation import IntervalSchemaError
 
 
@@ -30,10 +48,13 @@ def sessionize(
     gap: int,
     group_vars: Sequence[str],
     out_col: str = "session_id",
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Append a 1-based ``session_id`` per key: a new session starts at
     the first row and whenever ``t - previous t > gap``. Rows with equal
-    timestamps share a session (distance 0 ≤ gap)."""
+    timestamps share a session (distance 0 ≤ gap). ``bucket_width``
+    selects the time-sliced hot-key path (module docstring) — identical
+    ids, spread windows."""
     group_vars = list(group_vars)
     for c in (ts_col, *group_vars):
         if c not in df.columns:
@@ -43,15 +64,64 @@ def sessionize(
     if gap < 0:
         raise IntervalSchemaError(f"gap must be >= 0, got {gap}")
     t = F.col(ts_col).cast("long")
-    w = Window.partitionBy(*group_vars).orderBy(t)
-    prev = F.lag(t).over(w)
+
+    if bucket_width is None:
+        w = Window.partitionBy(*group_vars).orderBy(t)
+        prev = F.lag(t).over(w)
+        brk = F.when(prev.isNull() | ((t - prev) > gap), 1).otherwise(0)
+        run = (
+            Window.partitionBy(*group_vars)
+            .orderBy(t)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.select("*", F.sum(brk).over(run).alias(out_col))
+
+    if bucket_width <= 0:
+        raise IntervalSchemaError(
+            f"bucket_width must be positive, got {bucket_width}")
+    reserved = ["__sbk", "__lsid", "__soff", "__smrg"]
+    clash = [c for c in reserved if c in df.columns]
+    if clash:
+        raise IntervalSchemaError(f"internal column(s) {clash} already exist in input")
+    orig_cols = df.columns
+
+    src = df.withColumn("__sbk", fdiv(t, bucket_width))
+    wb = Window.partitionBy(*group_vars, "__sbk").orderBy(t)
+    prev = F.lag(t).over(wb)
     brk = F.when(prev.isNull() | ((t - prev) > gap), 1).otherwise(0)
-    run = (
-        Window.partitionBy(*group_vars)
+    runb = (
+        Window.partitionBy(*group_vars, "__sbk")
         .orderBy(t)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.select("*", F.sum(brk).over(run).alias(out_col))
+    src = src.withColumn("__lsid", F.sum(brk).over(runb))
+
+    b = src.groupBy(*group_vars, "__sbk").agg(
+        F.min(t).alias("__min_t"),
+        F.max(t).alias("__max_t"),
+        F.max("__lsid").alias("__n_sess"),
+    )
+    wk = Window.partitionBy(*group_vars).orderBy("__sbk")
+    prev_max = F.lag("__max_t").over(wk)
+    merged = F.when(
+        prev_max.isNotNull() & ((F.col("__min_t") - prev_max) <= gap), 1
+    ).otherwise(0)
+    b = b.withColumn("__smrg", merged)
+    woff = (
+        Window.partitionBy(*group_vars)
+        .orderBy("__sbk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = b.select(
+        *group_vars, "__sbk", "__smrg",
+        F.coalesce(F.sum(F.col("__n_sess") - F.col("__smrg")).over(woff),
+                   F.lit(0)).alias("__soff"),
+    )
+    out = src.join(b, on=[*group_vars, "__sbk"], how="left")
+    return out.select(
+        *orig_cols,
+        (F.col("__soff") + F.col("__lsid") - F.col("__smrg")).alias(out_col),
+    )
 
 
 def session_bounds(
@@ -60,13 +130,15 @@ def session_bounds(
     gap: int,
     group_vars: Sequence[str],
     value_col: str | None = None,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """One row per session: start/end timestamps, event count, duration
     (closed-interval semantics: ``end - start + 1`` time units, matching
     the engine's interval length convention), and optionally the sum of
     ``value_col``. The groupBy reuses the window's (key) partitioning —
-    still a single exchange."""
-    s = sessionize(df, ts_col, gap, group_vars)
+    still a single exchange (flat path); ``bucket_width`` passes through
+    to :func:`sessionize` for the hot-key keying."""
+    s = sessionize(df, ts_col, gap, group_vars, bucket_width=bucket_width)
     aggs = [
         F.min(F.col(ts_col).cast("long")).alias("session_start"),
         F.max(F.col(ts_col).cast("long")).alias("session_end"),

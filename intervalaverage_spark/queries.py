@@ -1044,10 +1044,14 @@ FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.t <= p.t
 
 def q_fill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF / NOCB / linear interpolation over the dense 1d tier grid
-    (required_percentage=50 leaves real NULL windows to fill)."""
+    (required_percentage=50 leaves real NULL windows to fill). LOCF runs
+    the BUCKETED (time-sliced, weekly) skew path so both window keyings
+    are driver-oracled (bucketed==flat is also hypothesis-tested); NOCB
+    and interpolation take the flat default."""
     base = q_interval_average_events_daily(spark, sf_dir).select(
         "user_id", "start", "end", "value")
-    f = locf(base, "start", ["value"], ["user_id"], out_suffix="_locf")
+    f = locf(base, "start", ["value"], ["user_id"], out_suffix="_locf",
+             bucket_width=168)
     f = nocb(f, "start", ["value"], ["user_id"], out_suffix="_nocb")
     f = interpolate_linear(f, "start", ["value"], ["user_id"], out_suffix="_interp")
     return f.select(
@@ -1110,8 +1114,12 @@ def _events_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete derivative Δv/Δt per user over the gauge series."""
-    out = rate(_events_pts(spark, sf_dir), "t", "value", ["user_id"])
+    """Discrete derivative Δv/Δt per user over the gauge series — on the
+    BUCKETED (time-sliced, weekly) skew path, so the carry join is
+    driver-oracled against the flat-window SQL (bucketed==flat is also
+    hypothesis-tested)."""
+    out = rate(_events_pts(spark, sf_dir), "t", "value", ["user_id"],
+               bucket_width=7 * 86400)
     # + 0.0 normalizes IEEE −0.0 (a tiny negative Δv rounds to it) to
     # +0.0 — DuckDB and Spark disagree on which zero ROUND emits, and
     # the driver's value-hash distinguishes them

@@ -152,3 +152,22 @@ def test_rate_bucketed_equals_flat(spark, pts, bw, reset):
                  bucket_width=bw).toPandas().sort_values("t")
     f, b = flat["rate"].to_numpy(), buck["rate"].to_numpy()
     assert ((pd.isna(f) & pd.isna(b)) | np.isclose(f, b, equal_nan=True)).all()
+
+
+@SET
+@given(
+    ts=st.lists(st.integers(0, 500), min_size=1, max_size=50),
+    gap=st.integers(0, 30),
+    bw=st.integers(1, 120),
+)
+def test_sessionize_bucketed_equals_flat(spark, ts, gap, bw):
+    """Time-sliced sessionize (within-bucket islands + bucket-granularity
+    merge pass) must assign the IDENTICAL session ids as the flat window —
+    including duplicate timestamps, gap=0, and the everything-merges
+    gap >= bucket_width regime."""
+    pdf = pd.DataFrame({"k": 1, "t": ts})
+    df = spark.createDataFrame(pdf)
+    flat = sessionize(df, "t", gap, ["k"]).toPandas()
+    buck = sessionize(df, "t", gap, ["k"], bucket_width=bw).toPandas()
+    assert sorted(zip(flat["t"], flat["session_id"])) \
+        == sorted(zip(buck["t"], buck["session_id"]))
