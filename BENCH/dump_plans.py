@@ -229,17 +229,40 @@ def main() -> None:
         ),
     )
 
-    # 9. fills: windows only, no join, no python
+    # 9. fills: windows + (since round 4) the bucketed locf's carry
+    # equi-join — never BNLJ, never python
     add(
-        "locf/nocb/interpolate over the dense 1d grid",
+        "locf(bucketed)/nocb/interpolate over the dense 1d grid",
         q.q_fill_daily_events(spark, sf),
         must=["Window"],
-        must_not=["BatchEvalPython", "FlatMapGroupsInPandas",
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas",
                   "ObjectHashAggregate"],
         note=(
-            "All three fills are last(ignorenulls) windows over the same "
-            "key partitioning — Catalyst plans one exchange and reuses it "
-            "across the ascending and descending sorts."
+            "NOCB and interpolation are last(ignorenulls) windows over the "
+            "key partitioning; LOCF runs the time-sliced skew path here "
+            "(driver-oracled), adding its 1-row-per-(key, bucket) carry "
+            "equi-join — a plain shuffled join on (key, bucket), nothing "
+            "serializes on a hot key."
+        ),
+    )
+
+    # 9b. bucketed sessionize: within-bucket islands + bucket-level merge
+    from intervalaverage_spark.operators.sessions import sessionize
+
+    add(
+        "sessionize with bucket_width (two-pass island merge)",
+        sessionize(q._events_pts(spark, sf), "t", 1800, ["user_id"],
+                   bucket_width=86400),
+        must=["Window"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Hot-key sessionization: sessions computed per (key, "
+            "day-bucket), then a gaps-and-islands pass over ONE row per "
+            "bucket decides cross-bucket continuation and the global-id "
+            "offsets; ids equal the flat window's exactly "
+            "(hypothesis-tested)."
         ),
     )
 
