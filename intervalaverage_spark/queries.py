@@ -1375,6 +1375,22 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessions, computed on the time-sliced (daily-bucket) hot-key
+    path: within-bucket islands + the bucket-granularity merge pass. The
+    oracle is the SAME flat-window SQL, so the cross-bucket id arithmetic
+    is hash-checked cross-engine, not just property-tested."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("t"), "value")
+    out = session_bounds(pts, "t", 1800, ["user_id"], value_col="value",
+                         bucket_width=86400)
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end",
+        "n_events", "duration", F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 SESSIONIZE_SQL = """
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
@@ -1577,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_daily_events": q_m4_daily_events,
         "m4_cascade_5d_events": q_m4_cascade_5d_events,
         "sessionize_events": q_sessionize_events,
+        "sessionize_events_bucketed": q_sessionize_events_bucketed,
         "coalesce_orders": q_coalesce_orders,
         "streaming_sessions_events": q_streaming_sessions_events,
         "rate_events": q_rate_events,
@@ -1624,6 +1641,8 @@ def oracle_sql() -> dict[str, str]:
         "m4_daily_events": M4_DAILY_SQL,
         "m4_cascade_5d_events": M4_CASCADE_5D_SQL,
         "sessionize_events": SESSIONIZE_SQL,
+        # identical oracle by design: bucketed must equal the flat window
+        "sessionize_events_bucketed": SESSIONIZE_SQL,
         "coalesce_orders": COALESCE_ORDERS_SQL,
         "streaming_sessions_events": STREAMING_SESSIONS_SQL,
         "rate_events": RATE_EVENTS_SQL,
