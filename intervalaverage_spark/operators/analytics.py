@@ -153,11 +153,15 @@ def rolling(
     ``<value>_roll_<agg>`` per requested agg. One exchange; all frames
     share the single (key, t) sort.
 
-    No ``bucket_width`` twin: a RANGE frame reaches back ``window`` time
-    units, so time-slicing would need a carry of up to ``window``-worth
-    of ROWS per bucket boundary (not 1 row) — at that point the carry IS
-    the hot partition. Mitigation for hot keys is the key model itself
-    (url-hash keys) or pre-aggregating to a coarser tier first."""
+    No ``bucket_width`` twin HERE: a RANGE frame reaches back ``window``
+    time units, so time-slicing this window would need a carry of up to
+    ``window``-worth of ROWS per bucket boundary (not 1 row) — at that
+    point the carry IS the hot partition. For the decomposable aggregates
+    (sum/count/mean) use :func:`rolling_decomposable`, which sidesteps
+    the frame entirely via bucketed prefix sums + a bucketed as-of
+    lookup; min/max genuinely need this direct frame (non-invertible),
+    where hot-key mitigation is the key model itself (url-hash keys) or
+    pre-aggregating to a coarser tier first."""
     group_vars = list(group_vars)
     _need(df, ts_col, value_col, *group_vars)
     bad = [a for a in aggs if a not in _AGGS]
@@ -178,6 +182,141 @@ def rolling(
         for a in aggs
     ]
     return df.select("*", *cols)
+
+
+def rolling_decomposable(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: int,
+    group_vars: Sequence[str],
+    aggs: Sequence[str] = ("sum", "count", "mean"),
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Time-RANGE rolling sum/count/mean with FULL hot-key spreading —
+    the bucketable twin :func:`rolling` cannot have for general
+    aggregates.
+
+    A RANGE frame's carry is a window-full of rows, so time-slicing the
+    window directly is hopeless (see :func:`rolling`). But sum/count/mean
+    are DECOMPOSABLE: ``frame(t) = prefix(t) − prefix(pred(t − w − 1))``,
+    and both pieces bucket cleanly:
+
+    1. collapse to one row per (key, t): ``s_t = Σv, c_t = count(v)`` —
+       a plain shuffled aggregate (also makes duplicate timestamps share
+       one frame result, exactly the RANGE-frame contract);
+    2. running prefix per key — computed per (key, time-bucket) with a
+       1-row-per-bucket offset table when ``bucket_width`` is set (the
+       locf carry construction with SUM instead of LAST);
+    3. the ``prefix`` just before the frame start is an as-of lookup of
+       the prefix table against itself at ``t − w − 1`` —
+       :func:`~intervalaverage_spark.operators.asof.asof_join`, which has
+       its own bucketed path;
+    4. join the per-t frame results back to the input rows on (key, t).
+
+    Appends ``<value>_roll_<agg>`` (matching :func:`rolling`'s naming).
+    Numerics: exact (bit-identical to :func:`rolling`) when values are
+    integers, integer-valued doubles, or decimals — prefix subtraction
+    is then exact; for general doubles results can differ from the
+    direct frame sum in the last ulps (different addition order).
+    Integer time domain required (``t − w − 1`` predecessor logic)."""
+    group_vars = list(group_vars)
+    _need(df, ts_col, value_col, *group_vars)
+    allowed = ("sum", "count", "mean")
+    bad = [a for a in aggs if a not in allowed]
+    if bad:
+        raise IntervalSchemaError(
+            f"aggs {bad} are not decomposable; choose from {allowed} "
+            "(min/max need the direct rolling())")
+    if window < 0:
+        raise IntervalSchemaError(f"window must be >= 0, got {window}")
+    _no_clash(df, *[f"{value_col}_roll_{a}" for a in aggs])
+    _no_clash(df, "__rd_t", "__rd_cs", "__rd_cc", "__rd_ps", "__rd_pc")
+    t = F.col(ts_col).cast("long")
+    v = F.col(value_col).cast("double")
+
+    pts = df.select(*group_vars, t.alias("__rd_t"), v.alias("__v")).groupBy(
+        *group_vars, "__rd_t"
+    ).agg(F.sum("__v").alias("__s"), F.count("__v").alias("__c"))
+
+    if bucket_width is None:
+        wcum = (
+            Window.partitionBy(*group_vars)
+            .orderBy("__rd_t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pref = pts.select(
+            *group_vars, "__rd_t",
+            F.sum("__s").over(wcum).alias("__rd_cs"),
+            F.sum("__c").over(wcum).alias("__rd_cc"),
+        )
+    else:
+        if bucket_width <= 0:
+            raise IntervalSchemaError(
+                f"bucket_width must be positive, got {bucket_width}")
+        bk = fdiv(F.col("__rd_t"), bucket_width)
+        p2 = pts.withColumn("__bk", bk)
+        b = p2.groupBy(*group_vars, "__bk").agg(
+            F.sum("__s").alias("__bs"), F.sum("__c").alias("__bc"))
+        woff = (
+            Window.partitionBy(*group_vars)
+            .orderBy("__bk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off = b.select(
+            *group_vars, "__bk",
+            F.coalesce(F.sum("__bs").over(woff), F.lit(0.0)).alias("__os"),
+            F.coalesce(F.sum("__bc").over(woff), F.lit(0).cast("long")).alias("__oc"),
+        )
+        wcb = (
+            Window.partitionBy(*group_vars, "__bk")
+            .orderBy("__rd_t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # coalesce BOTH terms: a bucket prefix of only-NULL __s must not
+        # wipe out the carried offset (NULL-frame semantics are restored
+        # downstream by the fc > 0 guard, so 0 is safe here)
+        pref = p2.join(off, on=[*group_vars, "__bk"], how="left").select(
+            *group_vars, "__rd_t",
+            (F.col("__os") + F.coalesce(F.sum("__s").over(wcb), F.lit(0.0)))
+            .alias("__rd_cs"),
+            (F.col("__oc") + F.sum("__c").over(wcb)).alias("__rd_cc"),
+        )
+
+    from intervalaverage_spark.operators.asof import asof_join
+
+    q = pref.select(
+        *group_vars, "__rd_t",
+        (F.col("__rd_t") - F.lit(int(window)) - 1).alias("__q"),
+        "__rd_cs", "__rd_cc",
+    )
+    m = asof_join(
+        q, pref.withColumnsRenamed({"__rd_cs": "__rd_ps", "__rd_cc": "__rd_pc"}),
+        on=group_vars, left_ts="__q", right_ts="__rd_t",
+        right_cols=["__rd_ps", "__rd_pc"], direction="backward",
+        bucket_width=bucket_width, suffix="__m",
+    )
+    fs = F.col("__rd_cs") - F.coalesce(F.col("__rd_ps__m"), F.lit(0.0))
+    fc = (F.col("__rd_cc") - F.coalesce(F.col("__rd_pc__m"), F.lit(0))).cast("long")
+    # an all-NULL (or empty) frame must yield NULL sum/mean like the
+    # direct RANGE frame does — X − X = 0 would be wrong
+    exprs = {"sum": F.when(fc > 0, fs), "count": fc,
+             "mean": F.when(fc > 0, fs / fc)}
+    frame = m.select(
+        *group_vars, "__rd_t",
+        *[exprs[a].alias(f"{value_col}_roll_{a}") for a in aggs],
+    )
+    from functools import reduce
+
+    cond = reduce(
+        lambda a_, b_: a_ & b_,
+        [df[g].eqNullSafe(frame[g]) for g in group_vars] + [t == frame["__rd_t"]],
+    )
+    out = df.join(frame, on=cond, how="left")
+    return out.select(
+        *[df[c] for c in df.columns],
+        *[frame[f"{value_col}_roll_{a}"] for a in aggs],
+    )
 
 
 def percentile_col_name(p: float) -> str:

@@ -184,3 +184,38 @@ def test_analytics_output_collision_guards(pts):
         rate(df, "t", "v", ["k"], out_col="v")
     with pytest.raises(IntervalSchemaError, match="already exist"):
         rolling(df.withColumn("v_roll_mean", F.lit(0.0)), "t", "v", 10, ["k"])
+
+
+def test_rolling_decomposable_equals_direct_frame(spark):
+    """Prefix-sum + as-of formulation must reproduce the direct RANGE
+    frame exactly — integer-valued doubles make the subtraction exact.
+    Covers NULL-only frames (sum/mean must stay NULL, not become 0),
+    duplicate timestamps (all rows at equal t share one frame), and
+    bucket widths from degenerate (1) to everything-in-one-bucket."""
+    import random
+
+    from intervalaverage_spark.operators.analytics import rolling_decomposable
+
+    random.seed(3)
+    rows = []
+    for k in range(4):
+        for t in sorted(random.sample(range(0, 500), 60)):
+            v = None if random.random() < 0.3 else float(random.randint(-50, 50))
+            rows.append((k, t, v))
+    rows += [(9, 10, 5.0), (9, 10, 7.0), (9, 40, None), (9, 41, None),
+             (9, 90, 1.0)]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    want = sorted(tuple(r) for r in rolling(
+        df, "t", "v", 100, ["k"], aggs=("sum", "count", "mean")).collect())
+    for bw in (None, 1, 37, 1000):
+        got = sorted(tuple(r) for r in rolling_decomposable(
+            df, "t", "v", 100, ["k"], bucket_width=bw).collect())
+        assert got == want, bw
+
+
+def test_rolling_decomposable_rejects_non_invertible_aggs(spark):
+    from intervalaverage_spark.operators.analytics import rolling_decomposable
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k int, t int, v double")
+    with pytest.raises(IntervalSchemaError, match="not decomposable"):
+        rolling_decomposable(df, "t", "v", 10, ["k"], aggs=("min",))
