@@ -1161,6 +1161,39 @@ FROM e WINDOW w6 AS (PARTITION BY user_id ORDER BY t
 """
 
 
+def q_rolling_1h_decomposable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 1-hour RANGE frame computed WITHOUT a frame: bucketed
+    prefix sums + the engine's own bucketed as-of join
+    (rolling_decomposable — the hot-key-spreadable formulation). Values
+    are pre-rounded to integer cents so the prefix subtraction is exact
+    and the hash matches the oracle's direct window frame bit-for-bit."""
+    from intervalaverage_spark.operators.analytics import rolling_decomposable
+
+    pts = _events_pts(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100, 0))
+    out = rolling_decomposable(pts, "t", "cents", 3600, ["user_id"],
+                               aggs=("sum", "count", "mean"),
+                               bucket_width=86400)
+    return out.select(
+        "user_id", "t", F.round("cents", 6).alias("cents"),
+        F.round("cents_roll_sum", 6).alias("roll_sum"),
+        F.col("cents_roll_count").alias("roll_count"),
+        F.round("cents_roll_mean", 6).alias("roll_mean"),
+    )
+
+
+ROLLING_1H_DECOMPOSABLE_SQL = f"""
+WITH {EVENTS_PTS_SQL},
+c AS (SELECT user_id, t, ROUND(value * 100, 0) AS cents FROM e)
+SELECT user_id, t, ROUND(cents, 6) AS cents,
+       ROUND(SUM(cents) OVER w6, 6) AS roll_sum,
+       CAST(COUNT(cents) OVER w6 AS BIGINT) AS roll_count,
+       ROUND(SUM(cents) OVER w6 / COUNT(cents) OVER w6, 6) AS roll_mean
+FROM c WINDOW w6 AS (PARTITION BY user_id ORDER BY t
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_percentiles_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95 per (user, day) — linear interpolation in both
     engines (Spark percentile == DuckDB quantile_cont on doubles)."""
@@ -1598,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions_events": q_streaming_sessions_events,
         "rate_events": q_rate_events,
         "rolling_1h_events": q_rolling_1h_events,
+        "rolling_1h_decomposable": q_rolling_1h_decomposable,
         "percentiles_daily_events": q_percentiles_daily_events,
         "interval_average_lineitem_weekly": q_interval_average_lineitem_weekly,
         "interval_intersect_lineitem_weekly": q_interval_intersect_lineitem_weekly,
@@ -1647,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions_events": STREAMING_SESSIONS_SQL,
         "rate_events": RATE_EVENTS_SQL,
         "rolling_1h_events": ROLLING_1H_SQL,
+        "rolling_1h_decomposable": ROLLING_1H_DECOMPOSABLE_SQL,
         "percentiles_daily_events": PERCENTILES_DAILY_SQL,
         "interval_average_lineitem_weekly": _ia_oracle_from(
             LINEITEM_X_SQL, "suppkey", 7, 50.0, sparse=False),
