@@ -71,30 +71,64 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """All doc pairs with word-``n``-gram Jaccard ≥ ``threshold`` (exact).
+    """Doc pairs scored by TRUE word-``n``-gram Jaccard, ≥ ``threshold``.
 
-    Plan: explode distinct shingles → (optional max_df stop-shingle filter)
-    → self-equi-join on shingle → count common shingles per pair →
-    ``J = common / (|A| + |B| − common)``. One shuffle per stage, all
-    codegen; output (id1, id2, jaccard) with id1 < id2.
+    ``max_df`` affects CANDIDATE GENERATION only: stop-shingles with
+    document frequency > max_df are dropped from the inverted index
+    BEFORE the self-join (bounding pair fan-out), but the reported
+    ``jaccard`` is always the exact Jaccard over the FULL shingle sets —
+    the threshold means the same thing with or without the cap, and the
+    minhash-LSH path's exact-verified output (same true-Jaccard scoring,
+    same signature-side cap) is a subset of this one at equal threshold.
+    With ``max_df=None`` recall is 100 % for any threshold > 0.
+
+    Plan: explode distinct shingles → DF cap → self-equi-join on shingle
+    → per-pair count of shared KEPT shingles (map-side combinable) → add
+    ``|hot∩hot|`` from per-doc hot-shingle arrays (tiny: fewer hot TYPES
+    than total_shingle_rows / max_df exist by definition) → join per-doc
+    set sizes → ``J = common / (|A| + |B| − common)``. The wide
+    full-shingle arrays never shuffle; output (id1, id2, jaccard) with
+    id1 < id2.
+
+    The explode carries ONLY (id, shingle): a sibling ``size(shingles())``
+    column in the generate projection is re-evaluated per OUTPUT row —
+    O(doc_len²) per doc, measured ~90× slower at 2000 docs — so ``|A|``
+    is instead recovered as rows-per-id from the exploded table itself
+    (shingle sets are distinct by construction).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.size(shingles(text_col, n)).alias("sz"),
         F.explode(shingles(text_col, n)).alias("sh"),
     )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    kept = sh
     if max_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    a, b = sh.alias("a"), sh.alias("b")
+        kept = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
-            F.col("a.sz").alias("sz1"), F.col("b.sz").alias("sz2"),
-        )
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("common"))
+        .join(sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2")), "id2")
     )
+    if max_df is not None:
+        doc_hot = (
+            sh.join(F.broadcast(hot), "sh", "left_semi")
+            .groupBy("id").agg(F.collect_set("sh").alias("hot_shs"))
+        )
+        hot_common = F.when(
+            F.col("hot1").isNull() | F.col("hot2").isNull(), F.lit(0)
+        ).otherwise(F.size(F.array_intersect("hot1", "hot2")))
+        common = (
+            common
+            .join(doc_hot.select(F.col("id").alias("id1"),
+                                 F.col("hot_shs").alias("hot1")), "id1", "left")
+            .join(doc_hot.select(F.col("id").alias("id2"),
+                                 F.col("hot_shs").alias("hot2")), "id2", "left")
+            .withColumn("common", F.col("common") + hot_common)
+        )
     j = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
     return (
         common.select("id1", "id2", F.round(j, 6).alias("jaccard"))
@@ -110,15 +144,27 @@ def minhash_signature(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: for permutation j, ``min(md5(j || ':' ||
     shingle))`` as a hex STRING (lexicographic min ≡ min over uniform
     128-bit ints; portable to any engine with md5). One explode + one
-    groupBy with ``num_hashes`` min-aggregates — fused, single shuffle."""
+    groupBy with ``num_hashes`` min-aggregates — fused, single shuffle.
+
+    ``max_df`` drops stop-shingles (document frequency > max_df) BEFORE
+    the signature — the boilerplate-footer mitigation: shared boilerplate
+    shingles otherwise dominate minima across unrelated docs and inflate
+    LSH candidate pairs quadratically (measured: BENCH/NOTES.md
+    "Dedup at 100k docs"). A doc whose EVERY shingle is hot drops out of
+    the signature table (and so can never be a candidate) — cap well
+    above the boilerplate DF, not near the median."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("sh"),
     )
+    if max_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh_{j}")
         for j in range(num_hashes)
@@ -134,6 +180,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash-LSH, exact-verified.
 
@@ -142,11 +189,16 @@ def minhash_lsh_pairs(
     bucket are candidates (prob ≈ 1−(1−J^r)^b); each candidate is verified
     with EXACT Jaccard so output precision is 1.0. Deterministic end-to-end.
     Output: (id1, id2, jaccard ≥ threshold).
+
+    ``max_df`` filters stop-shingles out of the SIGNATURES only (see
+    :func:`minhash_signature` — the candidate-blowup mitigation); the
+    verify step still scores the TRUE Jaccard over unfiltered shingles,
+    so the threshold means what it says.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes, max_df=max_df)
     band_rows = sig.select(
         "id",
         F.explode(F.array(*[

@@ -123,21 +123,28 @@ def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # mirrors ngram_jaccard_pairs WITH the max_df cap: shingles with document
 # frequency > max_df are dropped from the inverted index BEFORE the
-# self-join (common counts kept-shingles only) while |A|, |B| stay the
-# FULL set sizes — exactly the Spark plan's semantics.
+# self-join (bounding candidate fan-out) — but candidates are scored by
+# TRUE Jaccard over the FULL shingle sets, exactly the Spark plan's
+# semantics (Spark computes the same integer as kept_common + |hot∩hot|;
+# the oracle uses the equivalent full-list intersect).
 NGRAM_JACCARD_SQL = rf"""
 WITH {_SHINGLES_SQL},
-ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 hot AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) > {NGRAM_MAX_DF}),
 kept AS (SELECT ex.* FROM ex ANTI JOIN hot USING (g)),
-p AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS sz1, b.sz AS sz2,
-         COUNT(*) AS common
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
 ),
-j AS (SELECT id1, id2, common / (sz1 + sz2 - common) AS j FROM p)
-SELECT id1, id2, ROUND(j, 6) AS jaccard FROM j WHERE ROUND(j, 6) >= 0.5
+v AS (
+  SELECT c.id1, c.id2,
+         len(list_intersect(x.s, y.s))
+           / (x.sz + y.sz - len(list_intersect(x.s, y.s))) AS j
+  FROM cand c
+  JOIN (SELECT doc_id, s, len(s) AS sz FROM sh) x ON x.doc_id = c.id1
+  JOIN (SELECT doc_id, s, len(s) AS sz FROM sh) y ON y.doc_id = c.id2
+)
+SELECT id1, id2, ROUND(j, 6) AS jaccard FROM v WHERE ROUND(j, 6) >= 0.5
 """
 
 
