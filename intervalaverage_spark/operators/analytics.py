@@ -192,6 +192,8 @@ def rolling_decomposable(
     group_vars: Sequence[str],
     aggs: Sequence[str] = ("sum", "count", "mean"),
     bucket_width: int | None = None,
+    assume_unique_ts: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """Time-RANGE rolling sum/count/mean with FULL hot-key spreading —
     the bucketable twin :func:`rolling` cannot have for general
@@ -214,12 +216,24 @@ def rolling_decomposable(
        its own bucketed path;
     4. join the per-t frame results back to the input rows on (key, t).
 
-    Appends ``<value>_roll_<agg>`` (matching :func:`rolling`'s naming).
-    Numerics: exact (bit-identical to :func:`rolling`) when values are
-    integers, integer-valued doubles, or decimals — prefix subtraction
-    is then exact; for general doubles results can differ from the
-    direct frame sum in the last ulps (different addition order).
-    Integer time domain required (``t − w − 1`` predecessor logic)."""
+    Appends ``<value>_roll_<agg>`` (matching :func:`rolling`'s naming);
+    outputs are double — same as :func:`rolling`, which also casts values
+    to double before aggregating. Numerics: bit-identical to
+    :func:`rolling` when the double-cast values are integers or
+    integer-valued doubles within 2**53 — prefix subtraction is then
+    exact. For general doubles (and for decimals, which the double cast
+    truncates to 53-bit significands) results can differ from the direct
+    frame sum in the last ulps (different addition order). Integer time
+    domain required (``t − w − 1`` predecessor logic).
+
+    ``assume_unique_ts=True`` declares the input already holds at most
+    one row per (key, t): the collapse aggregate AND the final join-back
+    (an avoidable full equi-join in that common shape — tier outputs,
+    deduped series) are both skipped; the prefix/as-of stages carry the
+    input rows directly, saving one shuffle + one join. Results are
+    undefined if the promise is broken — pass ``validate=True`` to check
+    it eagerly (one bounded aggregate, the reference's skippable
+    eager-validation split)."""
     group_vars = list(group_vars)
     _need(df, ts_col, value_col, *group_vars)
     allowed = ("sum", "count", "mean")
@@ -235,9 +249,22 @@ def rolling_decomposable(
     t = F.col(ts_col).cast("long")
     v = F.col(value_col).cast("double")
 
-    pts = df.select(*group_vars, t.alias("__rd_t"), v.alias("__v")).groupBy(
-        *group_vars, "__rd_t"
-    ).agg(F.sum("__v").alias("__s"), F.count("__v").alias("__c"))
+    if assume_unique_ts:
+        if validate:
+            check_unique_ts(df, ts_col, group_vars)
+        _no_clash(df, "__s", "__c", "__q", "__bk", "__bs", "__bc", "__os", "__oc")
+        # 1 row per (key, t) promised: the input rows ARE the per-t points,
+        # so skip both the collapse aggregate and the final join-back.
+        pts = df.select(
+            "*", t.alias("__rd_t"), v.alias("__s"),
+            F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("__c"),
+        )
+    else:
+        pts = df.select(*group_vars, t.alias("__rd_t"), v.alias("__v")).groupBy(
+            *group_vars, "__rd_t"
+        ).agg(F.sum("__v").alias("__s"), F.count("__v").alias("__c"))
+    keep = [c for c in pts.columns if c not in ("__s", "__c")]
 
     if bucket_width is None:
         wcum = (
@@ -246,7 +273,7 @@ def rolling_decomposable(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pref = pts.select(
-            *group_vars, "__rd_t",
+            *keep,
             F.sum("__s").over(wcum).alias("__rd_cs"),
             F.sum("__c").over(wcum).alias("__rd_cc"),
         )
@@ -277,7 +304,7 @@ def rolling_decomposable(
         # wipe out the carried offset (NULL-frame semantics are restored
         # downstream by the fc > 0 guard, so 0 is safe here)
         pref = p2.join(off, on=[*group_vars, "__bk"], how="left").select(
-            *group_vars, "__rd_t",
+            *keep,
             (F.col("__os") + F.coalesce(F.sum("__s").over(wcb), F.lit(0.0)))
             .alias("__rd_cs"),
             (F.col("__oc") + F.sum("__c").over(wcb)).alias("__rd_cc"),
@@ -286,12 +313,14 @@ def rolling_decomposable(
     from intervalaverage_spark.operators.asof import asof_join
 
     q = pref.select(
+        "*", (F.col("__rd_t") - F.lit(int(window)) - 1).alias("__q")
+    )
+    slim = pref.select(
         *group_vars, "__rd_t",
-        (F.col("__rd_t") - F.lit(int(window)) - 1).alias("__q"),
-        "__rd_cs", "__rd_cc",
+        F.col("__rd_cs").alias("__rd_ps"), F.col("__rd_cc").alias("__rd_pc"),
     )
     m = asof_join(
-        q, pref.withColumnsRenamed({"__rd_cs": "__rd_ps", "__rd_cc": "__rd_pc"}),
+        q, slim,
         on=group_vars, left_ts="__q", right_ts="__rd_t",
         right_cols=["__rd_ps", "__rd_pc"], direction="backward",
         bucket_width=bucket_width, suffix="__m",
@@ -302,10 +331,12 @@ def rolling_decomposable(
     # direct RANGE frame does — X − X = 0 would be wrong
     exprs = {"sum": F.when(fc > 0, fs), "count": fc,
              "mean": F.when(fc > 0, fs / fc)}
-    frame = m.select(
-        *group_vars, "__rd_t",
-        *[exprs[a].alias(f"{value_col}_roll_{a}") for a in aggs],
-    )
+    frame_cols = [exprs[a].alias(f"{value_col}_roll_{a}") for a in aggs]
+    if assume_unique_ts:
+        # m carries every original input column through the as-of's left
+        # payload — emit directly, zero join-back.
+        return m.select(*[F.col(c) for c in df.columns], *frame_cols)
+    frame = m.select(*group_vars, "__rd_t", *frame_cols)
     from functools import reduce
 
     cond = reduce(
@@ -317,6 +348,155 @@ def rolling_decomposable(
         *[df[c] for c in df.columns],
         *[frame[f"{value_col}_roll_{a}"] for a in aggs],
     )
+
+
+def rolling_minmax(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: int,
+    group_vars: Sequence[str],
+    aggs: Sequence[str] = ("min", "max"),
+    assume_unique_ts: bool = False,
+    validate: bool = False,
+) -> DataFrame:
+    """Time-RANGE rolling min/max with FULL hot-key spreading — the
+    skew path for the NON-invertible aggregates that
+    :func:`rolling_decomposable`'s prefix-subtraction cannot serve (you
+    cannot "subtract" an expired point from a running min).
+
+    The classic two-block decomposition (the O(n) sliding-window-min
+    construction, re-expressed as Spark windows): pick the block width
+    EQUAL to the frame width ``w``. For integer t,
+    ``floor((t−w)/w) == floor(t/w) − 1`` exactly, so every closed frame
+    ``[t−w, t]`` spans exactly two adjacent blocks —
+
+    1. collapse to one row per (key, t) with per-t min/max (duplicate
+       timestamps share one frame result, the RANGE-frame contract) —
+       skipped under ``assume_unique_ts`` like
+       :func:`rolling_decomposable`;
+    2. per (key, block = floor(t/w)) compute the running PREFIX min/max
+       (ascending cumulative) and the running SUFFIX min/max (descending
+       cumulative) — two window passes over the SAME (key, block)
+       partitioning, each partition at most w time units of one key;
+    3. ``frame(t) = combine( prefix(t) within block bk,
+       suffix(first point ≥ t−w) within block bk−1 )``: the second term
+       is a FORWARD as-of lookup of ``t−w`` into the suffix table with
+       the block in the equi keys (``on=(key, bk−1)``) — the as-of
+       window partitions by (key, block), so it is spread too;
+    4. ``least``/``greatest`` the two terms (both skip NULLs; an
+       all-NULL or empty frame yields NULL, matching the direct frame).
+
+    Every stage — collapse, both cumulative windows, the as-of, the
+    join-back — is keyed by (key, block): a hot key spreads across its
+    time blocks with zero replication, no w-row carries (the reason
+    :func:`rolling` itself cannot be time-sliced). Appends
+    ``<value>_roll_min`` / ``<value>_roll_max`` (matching
+    :func:`rolling`'s naming); outputs are double, values compared after
+    the same double cast :func:`rolling` applies, so results are
+    IDENTICAL to the direct frame (min/max never round). Integer time
+    domain required."""
+    group_vars = list(group_vars)
+    _need(df, ts_col, value_col, *group_vars)
+    allowed = ("min", "max")
+    bad = [a for a in aggs if a not in allowed]
+    if bad:
+        raise IntervalSchemaError(
+            f"aggs {bad} not supported; choose from {allowed} "
+            "(sum/count/mean have rolling_decomposable)")
+    if window < 0:
+        raise IntervalSchemaError(f"window must be >= 0, got {window}")
+    _no_clash(df, *[f"{value_col}_roll_{a}" for a in aggs])
+    _no_clash(df, "__rm_t", "__rm_mn", "__rm_mx")
+    t = F.col(ts_col).cast("long")
+    v = F.col(value_col).cast("double")
+
+    if assume_unique_ts:
+        if validate:
+            check_unique_ts(df, ts_col, group_vars)
+        _no_clash(df, "__rm_bk", "__rm_qb", "__rm_qt",
+                  "__pmn", "__pmx", "__smn", "__smx")
+        pts = df.select("*", t.alias("__rm_t"), v.alias("__rm_mn"),
+                        v.alias("__rm_mx"))
+    else:
+        pts = df.select(*group_vars, t.alias("__rm_t"), v.alias("__v")).groupBy(
+            *group_vars, "__rm_t"
+        ).agg(F.min("__v").alias("__rm_mn"), F.max("__v").alias("__rm_mx"))
+    keep = [c for c in pts.columns if c not in ("__rm_mn", "__rm_mx")]
+
+    if window == 0:
+        # frame = the point's same-t peer rows: one window partitioned by
+        # (key, t) directly over df — still (key, block)-grained spreading
+        # (block == t here), and neither collapse nor join-back is needed
+        # (joining the collapsed frame back would be a self-join on the
+        # groupBy's pass-through attributes — ambiguous by construction)
+        w0 = Window.partitionBy(*group_vars, t)
+        exprs0 = {"min": F.min(v).over(w0), "max": F.max(v).over(w0)}
+        return df.select(
+            "*", *[exprs0[a].alias(f"{value_col}_roll_{a}") for a in aggs])
+
+    bk = fdiv(F.col("__rm_t"), window)
+    p2 = pts.withColumn("__rm_bk", bk)
+    wasc = (
+        Window.partitionBy(*group_vars, "__rm_bk")
+        .orderBy("__rm_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wdesc = (
+        Window.partitionBy(*group_vars, "__rm_bk")
+        .orderBy(F.desc("__rm_t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = p2.select(
+        *keep, "__rm_bk",
+        F.min("__rm_mn").over(wasc).alias("__pmn"),
+        F.max("__rm_mx").over(wasc).alias("__pmx"),
+    )
+    suf = p2.select(
+        *group_vars, "__rm_bk", "__rm_t",
+        F.min("__rm_mn").over(wdesc).alias("__smn"),
+        F.max("__rm_mx").over(wdesc).alias("__smx"),
+    )
+
+    from intervalaverage_spark.operators.asof import asof_join
+
+    q = pref.select(
+        "*",
+        (F.col("__rm_bk") - 1).alias("__rm_qb"),
+        (F.col("__rm_t") - F.lit(int(window))).alias("__rm_qt"),
+    ).drop("__rm_bk")
+    m = asof_join(
+        q, suf.withColumnRenamed("__rm_bk", "__rm_qb"),
+        on=[*group_vars, "__rm_qb"], left_ts="__rm_qt", right_ts="__rm_t",
+        right_cols=["__smn", "__smx"], direction="forward", suffix="__m",
+    )
+    # least/greatest skip NULLs; all-NULL (or block-bk-1-empty) terms fall
+    # through to the other term, both NULL → NULL like the direct frame
+    exprs = {"min": F.least(F.col("__pmn"), F.col("__smn__m")),
+             "max": F.greatest(F.col("__pmx"), F.col("__smx__m"))}
+    frame = m.select(
+        *keep, *[exprs[a].alias(f"{value_col}_roll_{a}") for a in aggs]
+    )
+    return _rm_emit(df, frame, t, group_vars, value_col, aggs,
+                    assume_unique_ts)
+
+
+def _rm_emit(df, frame, t, group_vars, value_col, aggs, assume_unique):
+    """Join-back (collapsed mode) or direct emit (assume_unique mode) —
+    shared by both rolling_minmax branches."""
+    roll_cols = [f"{value_col}_roll_{a}" for a in aggs]
+    if assume_unique:
+        return frame.select(*[F.col(c) for c in df.columns], *roll_cols)
+    from functools import reduce
+
+    cond = reduce(
+        lambda a_, b_: a_ & b_,
+        [df[g].eqNullSafe(frame[g]) for g in group_vars]
+        + [t == frame["__rm_t"]],
+    )
+    out = df.join(frame, on=cond, how="left")
+    return out.select(*[df[c] for c in df.columns],
+                      *[frame[c] for c in roll_cols])
 
 
 def percentile_col_name(p: float) -> str:
@@ -374,6 +554,17 @@ def windowed_percentiles(
     elif len(names) != len(percentiles):
         raise IntervalSchemaError(
             f"{len(names)} names for {len(percentiles)} percentiles")
+    # the output schema is group_vars…, bucket, <names>…, n_points — every
+    # name must be unique (percentiles=[0.5, 0.5] would otherwise emit two
+    # ambiguous p50 columns; a name equal to a group var or the reserved
+    # bucket/n_points would shadow it)
+    out_schema = [*group_vars, "bucket", *names, "n_points"]
+    seen: set[str] = set()
+    dup = sorted({n for n in out_schema if n in seen or seen.add(n)})
+    if dup:
+        raise IntervalSchemaError(
+            f"duplicate output column name(s) {dup}: percentile names must "
+            "be unique and distinct from group_vars/'bucket'/'n_points'")
     t = F.col(ts_col).cast("long")
     varr = F.col(value_col).cast("double")
     parr = F.array(*[F.lit(float(p)) for p in percentiles])

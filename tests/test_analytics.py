@@ -219,3 +219,102 @@ def test_rolling_decomposable_rejects_non_invertible_aggs(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "k int, t int, v double")
     with pytest.raises(IntervalSchemaError, match="not decomposable"):
         rolling_decomposable(df, "t", "v", 10, ["k"], aggs=("min",))
+
+
+def test_rolling_minmax_equals_direct_frame(spark):
+    """Two-block decomposition must reproduce the direct RANGE frame
+    min/max exactly (min/max never round — doubles included). Covers
+    NULL-only frames, duplicate timestamps, negative values, and window
+    widths from degenerate (1) to everything-in-two-blocks (1000)."""
+    import random
+
+    from intervalaverage_spark.operators.analytics import rolling_minmax
+
+    random.seed(11)
+    rows = []
+    for k in range(4):
+        for t in sorted(random.sample(range(0, 500), 60)):
+            v = None if random.random() < 0.3 else random.uniform(-50, 50)
+            rows.append((k, t, v))
+    rows += [(9, 10, 5.0), (9, 10, 7.0), (9, 40, None), (9, 41, None),
+             (9, 90, 1.0)]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    for w in (0, 1, 37, 100, 1000):
+        want = sorted((tuple(r) for r in rolling(
+            df, "t", "v", w, ["k"], aggs=("min", "max")).collect()),
+            key=lambda r: tuple((x is None, x) for x in r))
+        got = sorted((tuple(r) for r in rolling_minmax(
+            df, "t", "v", w, ["k"]).collect()),
+            key=lambda r: tuple((x is None, x) for x in r))
+        assert got == want, w
+
+
+def test_rolling_minmax_assume_unique_matches_and_validates(spark):
+    import random
+
+    from intervalaverage_spark.operators.analytics import rolling_minmax
+    from intervalaverage_spark.validation import IntervalDataError
+
+    random.seed(12)
+    rows = [(k, t, random.uniform(-5, 5) if random.random() > 0.2 else None)
+            for k in range(3) for t in sorted(random.sample(range(0, 300), 40))]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    for w in (0, 37):
+        want = sorted((tuple(r) for r in rolling(
+            df, "t", "v", w, ["k"], aggs=("min", "max")).collect()),
+            key=lambda r: tuple((x is None, x) for x in r))
+        got = sorted((tuple(r) for r in rolling_minmax(
+            df, "t", "v", w, ["k"], assume_unique_ts=True).collect()),
+            key=lambda r: tuple((x is None, x) for x in r))
+        assert got == want, w
+    dup = spark.createDataFrame([(1, 5, 1.0), (1, 5, 2.0)],
+                                "k int, t int, v double")
+    with pytest.raises(IntervalDataError, match="duplicate"):
+        rolling_minmax(dup, "t", "v", 10, ["k"],
+                       assume_unique_ts=True, validate=True)
+
+
+def test_rolling_minmax_rejects_decomposable_aggs(spark):
+    from intervalaverage_spark.operators.analytics import rolling_minmax
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k int, t int, v double")
+    with pytest.raises(IntervalSchemaError, match="not supported"):
+        rolling_minmax(df, "t", "v", 10, ["k"], aggs=("sum",))
+
+
+def test_rolling_decomposable_assume_unique_matches_and_validates(spark):
+    import random
+
+    from intervalaverage_spark.operators.analytics import rolling_decomposable
+    from intervalaverage_spark.validation import IntervalDataError
+
+    random.seed(13)
+    rows = [(k, t, float(random.randint(-50, 50)) if random.random() > 0.2
+             else None)
+            for k in range(3) for t in sorted(random.sample(range(0, 300), 40))]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    want = sorted((tuple(r) for r in rolling(
+        df, "t", "v", 100, ["k"], aggs=("sum", "count", "mean")).collect()),
+        key=lambda r: tuple((x is None, x) for x in r))
+    for bw in (None, 37):
+        got = sorted((tuple(r) for r in rolling_decomposable(
+            df, "t", "v", 100, ["k"], bucket_width=bw,
+            assume_unique_ts=True).collect()),
+            key=lambda r: tuple((x is None, x) for x in r))
+        assert got == want, bw
+    dup = spark.createDataFrame([(1, 5, 1.0), (1, 5, 2.0)],
+                                "k int, t int, v double")
+    with pytest.raises(IntervalDataError, match="duplicate"):
+        rolling_decomposable(dup, "t", "v", 10, ["k"],
+                             assume_unique_ts=True, validate=True)
+
+
+def test_windowed_percentiles_rejects_duplicate_output_names(pts):
+    _, df = pts
+    with pytest.raises(IntervalSchemaError, match="duplicate output"):
+        windowed_percentiles(df, "t", "v", 10, [0.5, 0.5], ["k"])
+    with pytest.raises(IntervalSchemaError, match="duplicate output"):
+        windowed_percentiles(df, "t", "v", 10, [0.5], ["k"], names=["k"])
+    with pytest.raises(IntervalSchemaError, match="duplicate output"):
+        windowed_percentiles(df, "t", "v", 10, [0.5], ["k"],
+                             names=["n_points"])

@@ -171,3 +171,20 @@ def test_sessionize_bucketed_equals_flat(spark, ts, gap, bw):
     buck = sessionize(df, "t", gap, ["k"], bucket_width=bw).toPandas()
     assert sorted(zip(flat["t"], flat["session_id"])) \
         == sorted(zip(buck["t"], buck["session_id"]))
+
+
+@SET
+@given(pts=series, w=st.sampled_from([0, 1, 37, 1000]))
+def test_rolling_minmax_equals_direct_frame(spark, pts, w):
+    """Two-block rolling min/max must equal the direct RANGE frame for
+    any point set — NULL runs, singleton blocks, width 0, widths larger
+    than the whole span."""
+    from intervalaverage_spark.operators.analytics import rolling, rolling_minmax
+
+    df = _fill_frames(spark, pts)
+    want = rolling(df, "t", "v", w, ["k"], aggs=("min", "max")).toPandas(
+    ).sort_values("t")
+    got = rolling_minmax(df, "t", "v", w, ["k"]).toPandas().sort_values("t")
+    for c in ("v_roll_min", "v_roll_max"):
+        f, b = want[c].to_numpy(), got[c].to_numpy()
+        assert ((pd.isna(f) & pd.isna(b)) | np.isclose(f, b, equal_nan=True)).all(), c
