@@ -126,8 +126,12 @@ def locf(
 ) -> DataFrame:
     """Fill NULLs with the last preceding non-NULL per key; appends
     ``<v><out_suffix>`` per value column. ``limit``: carry at most that
-    many order-units past the observation (NULL again beyond it).
-    ``bucket_width``: time-sliced skew path (module docstring)."""
+    many order-units past the observation (NULL again beyond it) — the
+    distance is measured in the order column's OWN type on the flat path
+    (exact for doubles too); the bucketed path casts to long (its carry
+    timestamps are long), so it requires an integer order domain anyway
+    (``fdiv``). ``bucket_width``: time-sliced skew path (module
+    docstring)."""
     group_vars, value_cols = list(group_vars), list(value_cols)
     _check(df, order_col, value_cols, group_vars, out_suffix, bucket_width)
     orig_cols = df.columns
@@ -142,21 +146,21 @@ def locf(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # native-type order on the flat path: a long cast would silently
+    # truncate a double order column, changing limit semantics
+    ot = F.col(order_col) if bucket_width is None else F.col(order_col).cast("long")
     cols: list[Column] = []
     for v in value_cols:
         filled = F.last(v, ignorenulls=True).over(w)
         src_t = F.last(
-            F.when(F.col(v).isNotNull(), F.col(order_col).cast("long")),
-            ignorenulls=True,
+            F.when(F.col(v).isNotNull(), ot), ignorenulls=True
         ).over(w)
         if bucket_width is not None:
             cb = F.col(f"__cb_{v}")
             filled = F.when(src_t.isNull(), cb.getField("v")).otherwise(filled)
             src_t = F.coalesce(src_t, cb.getField("t"))
         if limit is not None:
-            filled = F.when(
-                F.col(order_col).cast("long") - src_t <= F.lit(int(limit)), filled
-            )
+            filled = F.when(ot - src_t <= F.lit(int(limit)), filled)
         cols.append(filled.alias(f"{v}{out_suffix}"))
     return src.select(*orig_cols, *cols)
 
@@ -188,21 +192,20 @@ def nocb(
         .orderBy(F.desc(order_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # mirror of locf: native-type order distance on the flat path
+    ot = F.col(order_col) if bucket_width is None else F.col(order_col).cast("long")
     cols: list[Column] = []
     for v in value_cols:
         filled = F.last(v, ignorenulls=True).over(w)
         src_t = F.last(
-            F.when(F.col(v).isNotNull(), F.col(order_col).cast("long")),
-            ignorenulls=True,
+            F.when(F.col(v).isNotNull(), ot), ignorenulls=True
         ).over(w)
         if bucket_width is not None:
             cf = F.col(f"__cf_{v}")
             filled = F.when(src_t.isNull(), cf.getField("v")).otherwise(filled)
             src_t = F.coalesce(src_t, cf.getField("t"))
         if limit is not None:
-            filled = F.when(
-                src_t - F.col(order_col).cast("long") <= F.lit(int(limit)), filled
-            )
+            filled = F.when(src_t - ot <= F.lit(int(limit)), filled)
         cols.append(filled.alias(f"{v}{out_suffix}"))
     return src.select(*orig_cols, *cols)
 

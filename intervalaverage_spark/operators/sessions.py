@@ -138,6 +138,13 @@ def session_bounds(
     ``value_col``. The groupBy reuses the window's (key) partitioning —
     still a single exchange (flat path); ``bucket_width`` passes through
     to :func:`sessionize` for the hot-key keying."""
+    reserved = ["session_id", "session_start", "session_end", "n_events",
+                "duration"] + ([f"sum_{value_col}"] if value_col else [])
+    clash = [g for g in group_vars if g in reserved]
+    if clash:
+        raise IntervalSchemaError(
+            f"group_vars {clash} collide with reserved output column names "
+            f"{reserved}")
     s = sessionize(df, ts_col, gap, group_vars, bucket_width=bucket_width)
     aggs = [
         F.min(F.col(ts_col).cast("long")).alias("session_start"),

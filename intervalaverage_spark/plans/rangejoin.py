@@ -53,7 +53,8 @@ def fdiv(c: Column, w: int) -> Column:
 
 
 def estimate_bucket_width(
-    x: DataFrame, start: str, end: str, sample_fraction: int = 16
+    x: DataFrame, start: str, end: str, sample_fraction: int = 16,
+    cap: int = 100_000,
 ) -> int:
     """Heuristic bucket width ≈ p75 x-interval length: most intervals then
     hit 1-2 buckets, so the explode factor stays ~2 while buckets stay
@@ -62,14 +63,20 @@ def estimate_bucket_width(
     plans: a ``.limit(n)`` prefix of an unordered source varies run to
     run, so instead keep the ~1/``sample_fraction`` of rows whose
     ``xxhash64(start, end)`` lands in residue 0 — order-independent,
-    partition-independent, and pushed into the scan as a plain filter.
-    (p75 of a uniform hash-sample estimates p75 of the population; the
-    aggregate still reads only the sampled rows.)"""
+    partition-independent, and pushed into the scan as a plain filter —
+    and then cap the sample at the ``cap`` LOWEST hashes (a TakeOrdered:
+    each task keeps at most ``cap`` rows, the driver merges), so the
+    percentile state is bounded no matter how large x is. The hash is
+    uniform, so the lowest-hash subset is still an unbiased sample of
+    interval lengths. The scan itself is pruned to the two interval
+    columns; at true 10^12-row scale prefer passing ``bucket_width``
+    explicitly (any data-derived width costs one pruned scan)."""
     s, e = F.col(start).cast("long"), F.col(end).cast("long")
     row = (
-        x.select((e - s + 1).alias("__len"),
-                 F.pmod(F.xxhash64(s, e), F.lit(sample_fraction)).alias("__h"))
-        .filter(F.col("__h") == 0)
+        x.select((e - s + 1).alias("__len"), F.xxhash64(s, e).alias("__h"))
+        .filter(F.pmod(F.col("__h"), F.lit(sample_fraction)) == 0)
+        .orderBy("__h", "__len")
+        .limit(int(cap))
         .agg(F.percentile_approx("__len", 0.75).alias("p75"))
         .first()
     )

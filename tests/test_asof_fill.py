@@ -203,3 +203,17 @@ def test_fill_output_collision_guard(spark):
                                "k int, t int, v double, v_filled double")
     with pytest.raises(IntervalSchemaError, match="already exist"):
         locf(df, "t", ["v"], ["k"])
+
+
+def test_fill_limit_double_order_exact_on_flat_path(spark):
+    """A double order column's limit distance must be exact on the flat
+    path (a long cast would truncate 1.5 → 1 and wrongly carry)."""
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0), (1, 1.5, None)], "k int, o double, v double")
+    out = locf(df, "o", ["v"], ["k"], limit=1).toPandas().sort_values("o")
+    assert out["v_filled"].tolist()[0] == 1.0
+    assert pd.isna(out["v_filled"].tolist()[1])
+    back = nocb(df.withColumn("v", F.when(F.col("o") > 1, 2.0)),
+                "o", ["v"], ["k"], limit=1).toPandas().sort_values("o")
+    assert pd.isna(back["v_filled"].tolist()[0])
+    assert back["v_filled"].tolist()[1] == 2.0
