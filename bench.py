@@ -79,6 +79,29 @@ def _host_calibration() -> dict:
     }
 
 
+#: healthy-regime reference values for the two calibration probes. The CPU
+#: probe is stable across rounds (0.0042-0.0046 s); the first-touch probe
+#: swings 37× with the hypervisor regime (0.033-0.04 s healthy windows,
+#: up to 1.68 s degraded — BENCH/BASELINE.md per-pair stamps).
+_CAL_REF = {"cpu": 0.0042, "mem": 0.04}
+#: blend weights, fitted on rounds 3-4 (BENCH/NOTES.md "Host-normalized
+#: reporting"): across a 37-42× first-touch swing, measured query times
+#: moved only ~1.1-1.3× — so the memory probe's weight must be ~1%
+#: (Spark stages mostly reuse allocator blocks; only fresh first-touch
+#: allocations hit the fault path). 0.992/0.008 reproduces both the
+#: r3→r4 query deltas and the r4 scaling-run local[1] spread within ±10%.
+_CAL_W = {"cpu": 0.992, "mem": 0.008}
+
+
+def _host_factor(cal: dict) -> float:
+    """Relative host slowness vs the healthy regime (1.0 = healthy;
+    >1 = degraded). Divide measured seconds by it — multiply measured
+    points/sec by it — to compare rounds on one host basis."""
+    return round(
+        _CAL_W["cpu"] * cal["cpu_2M_mul_sum_sec"] / _CAL_REF["cpu"]
+        + _CAL_W["mem"] * cal["first_touch_100MB_sec"] / _CAL_REF["mem"], 4)
+
+
 def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """(warm, cold) timings: each query runs twice — the FIRST run (cold:
     pays one-time whole-stage-codegen JIT, ~5s on the first window+join
@@ -102,6 +125,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         # round-3 operators (absent from BENCH_r01/r02 — compare from r03 on)
         "asof_last_click_events",
         "fill_daily_events",
+        # round-5: the flat-LOCF twin so the bucketed skew-path premium in
+        # fill_daily_events is a tracked number (r3's fill key was flat;
+        # r4 switched it to bucketed and the 2× jump read as a regression)
+        "fill_daily_events_flat",
         "m4_daily_events",
         "sessionize_events",
         "coalesce_orders",
@@ -110,6 +137,11 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         # round-4: the flagship range join at the fixture's top cardinality
         # (600k lineitem rows / 1000 suppliers at sf0.1)
         "interval_average_lineitem_weekly",
+        # round-5: as-of at top cardinality (600k shipment events,
+        # forward × tolerance × bucketed) and the non-invertible rolling
+        # min/max on its new two-block skew path
+        "asof_lineitem_daily",
+        "rolling_1h_minmax",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -126,6 +158,89 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return warm, cold
+
+
+def _bench_dedup_scale(spark) -> tuple[dict, dict, dict]:
+    """Scale evidence for the fuzzy-dedup/ANN family (round-5: the sf*
+    documents fixture is 5k rows — semantics-sized, not scale-sized).
+    Runs the heaviest detectors end-to-end on the deterministic synthetic
+    corpus (sources/corpus.py: planted near-dup families + 60%-of-corpus
+    boilerplate shingle skew) at 100k docs / 200k vectors: minhash-LSH →
+    exact verify → connected-component clusters, simhash pigeonhole
+    pairs, and IVF/brute ANN top-k. Returns (warm, cold, diagnostics) —
+    diagnostics include MEASURED recall against the planted families and
+    the verified-pair/cluster counts (candidate-blowup sweep:
+    BENCH/dedup_scale_probe.py → NOTES.md)."""
+    import shutil
+    import tempfile
+
+    from intervalaverage_spark.functions.ann import brute_topk, ivf_topk
+    from intervalaverage_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from intervalaverage_spark.sources.corpus import (
+        family_pairs,
+        synth_corpus,
+        synth_embeddings,
+    )
+
+    n_docs = int(os.environ.get("IA_DEDUP_DOCS", "100000"))
+    n_vecs = int(os.environ.get("IA_DEDUP_VECS", "200000"))
+    base = tempfile.mkdtemp(prefix="ia_dedup_bench_")
+    warm, cold = {}, {}
+    diag = {"n_docs": n_docs, "n_vecs": n_vecs,
+            "lsh_params": "n=3, 16 hashes, 8 bands (r=2), max_df=1000, t=0.5"}
+    try:
+        t0 = time.time()
+        synth_corpus(spark, n_docs).write.mode("overwrite").parquet(f"{base}/docs")
+        synth_embeddings(spark, n_vecs).write.mode("overwrite").parquet(f"{base}/vecs")
+        diag["generate_seconds"] = round(time.time() - t0, 3)
+        docs = spark.read.parquet(f"{base}/docs")
+        vecs = spark.read.parquet(f"{base}/vecs")
+
+        def timed(name, fn, sink="noop", path=None):
+            for tgt in (cold, warm):
+                t0 = time.time()
+                df = fn()
+                if sink == "noop":
+                    df.write.format("noop").mode("overwrite").save()
+                else:
+                    df.write.mode("overwrite").parquet(path)
+                tgt[name] = round(time.time() - t0, 3)
+
+        # the headline: banded LSH + exact verify, stop-shingles capped
+        # (max_df=1000 ≫ any honest shingle's DF, ≪ the 60k boilerplate DF)
+        timed(f"minhash_lsh_{n_docs // 1000}k_docs",
+              lambda: minhash_lsh_pairs(docs, num_hashes=16, bands=8,
+                                        threshold=0.5, max_df=1000),
+              sink="parquet", path=f"{base}/pairs")
+        pairs = spark.read.parquet(f"{base}/pairs")
+        timed(f"dedup_clusters_{n_docs // 1000}k_docs",
+              lambda: dedup_clusters(docs, pairs))
+        timed(f"simhash_{n_docs // 1000}k_docs",
+              lambda: simhash_pairs(docs, max_hamming=3))
+
+        qv = [float(x) for x in
+              vecs.filter(F.col("vec_id") == 12345).first()["embedding"]]
+        timed(f"ann_ivf_{n_vecs // 1000}k_vecs",
+              lambda: ivf_topk(vecs, qv, "vec_id", "embedding",
+                               k=10, n_cells=16, nprobe=2))
+        timed(f"ann_brute_{n_vecs // 1000}k_vecs",
+              lambda: brute_topk(vecs, qv, "vec_id", "embedding", k=10))
+
+        # untimed diagnostics: measured recall vs the planted ground truth
+        truth = family_pairs(docs)
+        diag["verified_pairs"] = pairs.count()
+        diag["planted_pairs"] = truth.count()
+        diag["planted_recovered"] = pairs.join(
+            truth, ["id1", "id2"], "left_semi").count()
+        diag["planted_recall"] = round(
+            diag["planted_recovered"] / max(diag["planted_pairs"], 1), 4)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return warm, cold, diag
 
 
 def _bench_webts_rollup(spark, n_pages: int) -> tuple[float, int]:
@@ -235,11 +350,17 @@ def run_once(cpus: int, sf_dir: str, n_pages: int, rollup_only: bool = False) ->
     try:
         warm = 0.0 if rollup_only else _warmup(spark, sf_dir)
         queries, queries_cold = ({}, {}) if rollup_only else _bench_queries(spark, sf_dir)
+        dedup_diag = {}
+        if not rollup_only:
+            dw, dc, dedup_diag = _bench_dedup_scale(spark)
+            queries.update(dw)
+            queries_cold.update(dc)
         roll_s, roll_pts = _bench_webts_rollup(spark, n_pages)
         queries["webts_rollup_3tier"] = round(roll_s, 3)
         return {
             "queries": queries,
             "queries_cold": queries_cold,
+            "dedup_scale": dedup_diag,
             "warmup_seconds": warm,
             "rollup_points": roll_pts,
             "rollup_points_per_sec": round(roll_pts / roll_s, 1),
@@ -377,18 +498,28 @@ def main() -> None:
     t0 = time.time()
     r = run_once(cpus, sf_dir, n_pages)
     total = round(time.time() - t0, 3)
+    cal = _host_calibration()
+    factor = _host_factor(cal)
     print(json.dumps({
         "metric": "total_bench_seconds",
         "value": total,
         "unit": "sec",
         "methodology": METHODOLOGY,
-        "host_calibration": _host_calibration(),
+        "host_calibration": cal,
+        "host_factor": factor,
         "queries": r["queries"],
         "queries_cold": r.get("queries_cold", {}),
+        # raw ÷ host_factor: round-over-round comparable on one host basis
+        # (blend derivation + validation: BENCH/NOTES.md)
+        "normalized_queries": {k: round(v / factor, 3)
+                               for k, v in r["queries"].items()},
+        "dedup_scale": r.get("dedup_scale", {}),
         "warmup_seconds": r.get("warmup_seconds", 0.0),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rollup_points": r["rollup_points"],
         "rollup_points_per_sec": r["rollup_points_per_sec"],
+        "normalized_rollup_points_per_sec": round(
+            r["rollup_points_per_sec"] * factor, 1),
         "cpus": cpus,
     }))
 

@@ -43,6 +43,27 @@ from intervalaverage_spark.operators.tiers import finalize, rollup_cascade, roll
 from intervalaverage_spark.streaming.rollup_stream import stream_hourly_state
 from intervalaverage_spark.streaming.session_stream import stream_sessions
 
+def _scratch_dir(name: str) -> str:
+    """Per-process scratch directory for queries that must round-trip
+    through the filesystem (checkpoint/streaming sinks). Deterministic
+    path per (query, pid): a re-run in the same process starts clean
+    (wiped here — the resume query NEEDS an empty manifest on its first
+    run), and the directory removes itself at interpreter exit, so
+    repeated driver runs never accumulate temp dirs. The returned
+    DataFrames read these files lazily, which is why an eager
+    try/finally cannot be used."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"ia_q_{name}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 # ------------------------------------------------------------ events → x
 
 #: SQL twin of :func:`events_x` (keep in lockstep!)
@@ -630,15 +651,13 @@ def q_checkpoint_tier_1d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip every bucket — same input), read the state back from disk and
     finalize. The oracle is the plain 1d tier SQL, so the whole
     write → manifest → resume-plan → read → finalize loop must be exact."""
-    import tempfile
-
     from intervalaverage_spark.plans import checkpoint as ckpt
 
     x = events_x(spark, sf_dir).withColumnRenamed("v", "value").withColumn(
         "value", F.col("value").cast(_VALUE_DEC)
     )
     xb = ckpt.with_bucket(x, "user_id", 8)
-    tmp = tempfile.mkdtemp(prefix="ia_ckpt_q_")
+    tmp = _scratch_dir("ckpt")
     fps = ckpt.fingerprint_partitions(xb)
     st = rollup_from_raw(xb, 24, ["value"], ["user_id", "p"])
     ckpt.write_partitioned(st, f"{tmp}/tier_1d", ("p",))
@@ -679,15 +698,13 @@ def q_checkpoint_resume_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot reproduce — the driver records the rows-only check, and the
     metrics themselves are deterministic (seeded fixture, fixed bucket
     count)."""
-    import tempfile
-
     from intervalaverage_spark.plans import checkpoint as ckpt
 
     x = events_x(spark, sf_dir).withColumnRenamed("v", "value").withColumn(
         "value", F.col("value").cast(_VALUE_DEC)
     )
     xb = ckpt.with_bucket(x, "user_id", 8)
-    tmp = tempfile.mkdtemp(prefix="ia_resume_q_")
+    tmp = _scratch_dir("resume")
 
     def manifest_rows(fps):
         return fps.select(
@@ -740,6 +757,65 @@ def q_checkpoint_resume_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("run2_after_one_user_mutation", len(todo2), len(skipped2), bool(match))],
         "run string, buckets_recomputed int, buckets_skipped int, "
         "resume_matches_direct boolean",
+    )
+
+
+def q_retention_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention made driver-visible (the rollup+downsample+RETENTION
+    triad's last member, previously pytest-only): build a real
+    tier=/d=/p= layout from the events fixture (1h + 1d states in the
+    seconds domain), run the policy engine dry (the PLAN), apply it for
+    real, re-apply to witness idempotence — the per-tier metrics ARE the
+    result rows. ``plan_matches_apply`` additionally witnesses that the
+    surviving day directories on disk equal the plan's keep-set.
+
+    No oracle_sql: partition aging is a filesystem metadata operation
+    (Hadoop FS directory drops) DuckDB has no analogue for — rows-only by
+    necessity, like checkpoint_resume_metrics; every value is
+    deterministic (seeded fixture; ``now`` derives from the data's own
+    max timestamp, never the wall clock)."""
+    from intervalaverage_spark.jobs.retention import _list_day_dirs, apply_retention
+    from intervalaverage_spark.operators.tiers import TIER_WIDTHS, rollup_from_raw
+    from intervalaverage_spark.plans.layout import DAY, write_tier
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.groupBy(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("t")
+    ).agg(F.max("value").alias("v"))
+    w = Window.partitionBy("user_id").orderBy("t")
+    x = pts.select(
+        "user_id",
+        F.col("t").alias("start"),
+        F.coalesce(F.lead("t").over(w) - 1, F.col("t") + 3599).alias("end"),
+        F.col("v").cast(_VALUE_DEC).alias("value"),
+    )
+    root = _scratch_dir("retention")
+    for tier in ("1h", "1d"):
+        st = rollup_from_raw(x, TIER_WIDTHS[tier], ["value"], ["user_id"])
+        write_tier(st, f"{root}/tier={tier}", n_buckets=4, url_col="user_id")
+    now = int(x.agg(F.max("end")).first()[0]) + 1
+    # events span ~30 days: both tiers age out real directories
+    policies = {"1h": 7 * DAY, "1d": 20 * DAY}
+    plan = apply_retention(spark, root, policies, now, dry_run=True)
+    rep = apply_retention(spark, root, policies, now)
+    rep2 = apply_retention(spark, root, policies, now)
+    rows = []
+    for tier in ("1h", "1d"):
+        survivors = _list_day_dirs(spark, f"{root}/tier={tier}")
+        rows.append((
+            tier,
+            int(plan[tier]["cutoff_day"]),
+            len(plan[tier]["dropped"]) + plan[tier]["kept"],
+            len(plan[tier]["dropped"]),
+            plan[tier]["kept"],
+            bool(plan[tier]["dropped"] == rep[tier]["dropped"]
+                 and len(survivors) == rep[tier]["kept"]),
+            len(rep2[tier]["dropped"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "tier string, cutoff_day long, days_present int, days_dropped int, "
+        "days_kept int, plan_matches_apply boolean, second_run_drops int",
     )
 
 
@@ -848,8 +924,6 @@ def q_streaming_tier_1d_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch stage. The hourly min() aggregates DOUBLEs (bit-exact through
     parquet) and the decimal cast happens once, batch-side — the same
     value path the direct query takes."""
-    import tempfile
-
     sentinel_key = 10**9
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id",
@@ -860,7 +934,7 @@ def q_streaming_tier_1d_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel = spark.createDataFrame(
         [(sentinel_key, hi, None)], schema=ev.schema
     ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 HOURS"))
-    tmp = tempfile.mkdtemp(prefix="ia_tier_handoff_")
+    tmp = _scratch_dir("tier_handoff")
     ev.unionByName(sentinel).write.mode("overwrite").parquet(f"{tmp}/src")
 
     stream = (
@@ -1062,6 +1136,24 @@ def q_fill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fill_daily_events_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same three fills with LOCF on the FLAT (single-window) path —
+    the apples-to-apples round-over-round bench twin of
+    ``fill_daily_events`` (which prices the bucketed skew insurance).
+    bucketed==flat, so both share one oracle string."""
+    base = q_interval_average_events_daily(spark, sf_dir).select(
+        "user_id", "start", "end", "value")
+    f = locf(base, "start", ["value"], ["user_id"], out_suffix="_locf")
+    f = nocb(f, "start", ["value"], ["user_id"], out_suffix="_nocb")
+    f = interpolate_linear(f, "start", ["value"], ["user_id"], out_suffix="_interp")
+    return f.select(
+        "user_id", "start", "end", "value",
+        F.round("value_locf", 6).alias("value_locf"),
+        F.round("value_nocb", 6).alias("value_nocb"),
+        F.round("value_interp", 6).alias("value_interp"),
+    )
+
+
 def _fill_daily_oracle_sql() -> str:
     # fills layered over the dense interval_average oracle grid; the
     # interpolation expression mirrors operators/fill.py term-for-term so
@@ -1166,14 +1258,17 @@ def q_rolling_1h_decomposable(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sums + the engine's own bucketed as-of join
     (rolling_decomposable — the hot-key-spreadable formulation). Values
     are pre-rounded to integer cents so the prefix subtraction is exact
-    and the hash matches the oracle's direct window frame bit-for-bit."""
+    and the hash matches the oracle's direct window frame bit-for-bit.
+    The point table is unique per (user, t) by construction (groupBy), so
+    ``assume_unique_ts=True`` skips the collapse aggregate and the final
+    join-back — one fewer shuffle + one fewer join, same hash."""
     from intervalaverage_spark.operators.analytics import rolling_decomposable
 
     pts = _events_pts(spark, sf_dir).withColumn(
         "cents", F.round(F.col("value") * 100, 0))
     out = rolling_decomposable(pts, "t", "cents", 3600, ["user_id"],
                                aggs=("sum", "count", "mean"),
-                               bucket_width=86400)
+                               bucket_width=86400, assume_unique_ts=True)
     return out.select(
         "user_id", "t", F.round("cents", 6).alias("cents"),
         F.round("cents_roll_sum", 6).alias("roll_sum"),
@@ -1190,6 +1285,35 @@ SELECT user_id, t, ROUND(cents, 6) AS cents,
        CAST(COUNT(cents) OVER w6 AS BIGINT) AS roll_count,
        ROUND(SUM(cents) OVER w6 / COUNT(cents) OVER w6, 6) AS roll_mean
 FROM c WINDOW w6 AS (PARTITION BY user_id ORDER BY t
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rolling_1h_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-hour RANGE frame min/max computed WITHOUT a frame: the
+    two-block decomposition (rolling_minmax — prefix/suffix cumulative
+    min/max per (key, hour-block) + a forward as-of into the previous
+    block), the hot-key path for the NON-invertible aggregates. min/max
+    never round, so the direct-window SQL frame is an exact oracle.
+    The point table is unique per (user, t) by construction —
+    assume_unique_ts skips the collapse and join-back."""
+    from intervalaverage_spark.operators.analytics import rolling_minmax
+
+    out = rolling_minmax(_events_pts(spark, sf_dir), "t", "value", 3600,
+                         ["user_id"], assume_unique_ts=True)
+    return out.select(
+        "user_id", "t", F.round("value", 6).alias("value"),
+        F.round("value_roll_min", 6).alias("roll_min"),
+        F.round("value_roll_max", 6).alias("roll_max"),
+    )
+
+
+ROLLING_1H_MINMAX_SQL = f"""
+WITH {EVENTS_PTS_SQL}
+SELECT user_id, t, ROUND(value, 6) AS value,
+       ROUND(MIN(value) OVER w6, 6) AS roll_min,
+       ROUND(MAX(value) OVER w6, 6) AS roll_max
+FROM e WINDOW w6 AS (PARTITION BY user_id ORDER BY t
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
 
@@ -1233,7 +1357,6 @@ def q_streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring); the sentinel is excluded from the result. Timestamps are
     floored to whole seconds on write (events carry microseconds; the
     SQL oracle works on integer seconds)."""
-    import tempfile
     import uuid
 
     gap, sentinel_key = 1800, 10**9
@@ -1246,7 +1369,7 @@ def q_streaming_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel = spark.createDataFrame(
         [(sentinel_key, hi, None)], schema=ev.schema
     ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {10 * gap} SECONDS"))
-    tmp = tempfile.mkdtemp(prefix="ia_sess_stream_")
+    tmp = _scratch_dir("sess_stream")
     ev.unionByName(sentinel).write.mode("overwrite").parquet(f"{tmp}/src")
 
     stream = spark.readStream.schema(ev.schema).parquet(f"{tmp}/src")
@@ -1560,6 +1683,52 @@ def q_coalesce_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("suppkey", "start", "end", "n_intervals", "covered")
 
 
+def q_asof_lineitem_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of family at the fixture's top cardinality (600k left rows /
+    1000 suppliers at sf0.1 — the events-scale asof rows are ≈2k):
+    every raw shipment event looks FORWARD to its supplier's next active
+    day's max price within a 7-day tolerance, on the BUCKETED skew path —
+    forward × tolerance × bucket+carry all exercised in one
+    driver-oracled query (DuckDB ``ASOF LEFT JOIN`` + tolerance mask)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = F.datediff("l_shipdate", F.lit("1970-01-01").cast("date")).cast("long")
+    left = li.select(
+        F.col("l_suppkey").alias("suppkey"), d.alias("d"),
+        F.col("l_orderkey").alias("okey"), F.col("l_linenumber").alias("lnum"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    right = left.groupBy("suppkey", "d").agg(
+        F.max("price").alias("day_max_price"))
+    out = asof_join(
+        left, right, on=["suppkey"], left_ts="d", right_ts="d",
+        right_cols=["day_max_price"], direction="forward",
+        tolerance=7, bucket_width=28, suffix="_nx",
+    )
+    return out.select(
+        "suppkey", "d", "okey", "lnum",
+        F.round("price", 6).alias("price"),
+        F.col("d_nx").alias("next_d"),
+        F.round("day_max_price_nx", 6).alias("next_max_price"),
+    )
+
+
+ASOF_LINEITEM_SQL = """
+WITH l AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         l_orderkey AS okey, l_linenumber AS lnum,
+         l_extendedprice AS price
+  FROM lineitem
+),
+r AS (SELECT suppkey, d, max(price) AS day_max_price FROM l GROUP BY 1, 2)
+SELECT l.suppkey, l.d, l.okey, l.lnum, ROUND(l.price, 6) AS price,
+       CASE WHEN r.d - l.d <= 7 THEN r.d END AS next_d,
+       ROUND(CASE WHEN r.d - l.d <= 7 THEN r.day_max_price END, 6)
+         AS next_max_price
+FROM l ASOF LEFT JOIN r ON l.suppkey = r.suppkey AND l.d <= r.d
+"""
+
+
 II_LINEITEM_SQL = f"""
 WITH {LINEITEM_RAW_SQL},
 b AS (SELECT CAST(floor(min(s)/7.0) AS BIGINT) AS k0,
@@ -1623,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click_events": q_asof_last_click_events,
         "asof_next_purchase_events": q_asof_next_purchase_events,
         "fill_daily_events": q_fill_daily_events,
+        "fill_daily_events_flat": q_fill_daily_events_flat,
         "m4_daily_events": q_m4_daily_events,
         "m4_cascade_5d_events": q_m4_cascade_5d_events,
         "sessionize_events": q_sessionize_events,
@@ -1632,12 +1802,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_events": q_rate_events,
         "rolling_1h_events": q_rolling_1h_events,
         "rolling_1h_decomposable": q_rolling_1h_decomposable,
+        "rolling_1h_minmax": q_rolling_1h_minmax,
         "percentiles_daily_events": q_percentiles_daily_events,
         "interval_average_lineitem_weekly": q_interval_average_lineitem_weekly,
         "interval_intersect_lineitem_weekly": q_interval_intersect_lineitem_weekly,
         "coalesce_lineitem": q_coalesce_lineitem,
+        "asof_lineitem_daily": q_asof_lineitem_daily,
         "streaming_tier_1d_handoff": q_streaming_tier_1d_handoff,
         "checkpoint_resume_metrics": q_checkpoint_resume_metrics,
+        "retention_plan_events": q_retention_plan_events,
         **qp.queries(),
     }
 
@@ -1672,6 +1845,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_click_events": ASOF_LAST_CLICK_SQL,
         "asof_next_purchase_events": ASOF_NEXT_PURCHASE_SQL,
         "fill_daily_events": _fill_daily_oracle_sql(),
+        # identical oracle by design: bucketed LOCF must equal the flat window
+        "fill_daily_events_flat": _fill_daily_oracle_sql(),
         "m4_daily_events": M4_DAILY_SQL,
         "m4_cascade_5d_events": M4_CASCADE_5D_SQL,
         "sessionize_events": SESSIONIZE_SQL,
@@ -1682,11 +1857,13 @@ def oracle_sql() -> dict[str, str]:
         "rate_events": RATE_EVENTS_SQL,
         "rolling_1h_events": ROLLING_1H_SQL,
         "rolling_1h_decomposable": ROLLING_1H_DECOMPOSABLE_SQL,
+        "rolling_1h_minmax": ROLLING_1H_MINMAX_SQL,
         "percentiles_daily_events": PERCENTILES_DAILY_SQL,
         "interval_average_lineitem_weekly": _ia_oracle_from(
             LINEITEM_X_SQL, "suppkey", 7, 50.0, sparse=False),
         "interval_intersect_lineitem_weekly": II_LINEITEM_SQL,
         "coalesce_lineitem": COALESCE_LINEITEM_SQL,
+        "asof_lineitem_daily": ASOF_LINEITEM_SQL,
         # streamed 1h parquet state + batch repair/rollup must equal the
         # DIRECT 1d tier — the handoff proof is the oracle being the same
         "streaming_tier_1d_handoff": _ia_oracle_sql(24, 0.0, sparse=True),
