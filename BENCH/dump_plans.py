@@ -406,6 +406,90 @@ def main() -> None:
         ),
     )
 
+    # 17. rolling_minmax — the two-block skew path for the non-invertible
+    # aggregates (round-5: closes "rolling min/max has no hot-key path")
+    from intervalaverage_spark.operators.analytics import (
+        rolling_decomposable,
+        rolling_minmax,
+    )
+
+    pts17 = q._events_pts(spark, sf)
+    add(
+        "rolling_minmax (two-block decomposition, non-invertible aggs)",
+        rolling_minmax(pts17, "t", "value", 3600, ["user_id"],
+                       assume_unique_ts=True),
+        must=["Window"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Block width = frame width, so floor((t-w)/w) = floor(t/w)-1 "
+            "exactly and every [t-w, t] frame is block-bk prefix ∪ "
+            "block-(bk-1) suffix: two cumulative windows per (key, block) "
+            "+ one forward as-of whose window also partitions by "
+            "(key, block). No stage keys by the bare group key — a hot "
+            "key spreads across its time blocks, with no w-row carries "
+            "(the reason the direct RANGE frame can't be sliced)."
+        ),
+    )
+
+    # 18. rolling_decomposable assume_unique_ts — the join-back skip:
+    # count exchanges in both modes to certify the saving mechanically
+    p_joinback = plan_of(rolling_decomposable(
+        pts17, "t", "value", 3600, ["user_id"], bucket_width=86400))
+    p_direct = plan_of(rolling_decomposable(
+        pts17, "t", "value", 3600, ["user_id"], bucket_width=86400,
+        assume_unique_ts=True))
+    nx_jb, nx_d = p_joinback.count("Exchange"), p_direct.count("Exchange")
+    ok18 = nx_d < nx_jb
+    sections.append(
+        "## rolling_decomposable assume_unique_ts (join-back skipped) — "
+        + ("OK" if ok18 else "VIOLATION") + "\n\n"
+        "When the caller guarantees one row per (key, t) the collapse "
+        "aggregate AND the final equi join back to the input are skipped; "
+        "the frame results are emitted straight off the as-of output. "
+        f"Exchange count: collapsed mode = {nx_jb}, assume_unique mode = "
+        f"{nx_d} (strictly fewer: {'PASS' if ok18 else 'FAIL'}). The "
+        "driver queries rolling_1h_decomposable / rolling_1h_minmax run "
+        "this mode (their point tables are groupBy-deduped).\n\n"
+        f"```\n{p_direct.strip()}\n```\n"
+    )
+
+    # 19. as-of at top cardinality (600k shipment events; forward ×
+    # tolerance × bucket+carry)
+    add(
+        "asof_join over lineitem (top-cardinality, forward+tolerance+bucketed)",
+        q.q_asof_lineitem_daily(spark, sf),
+        must=["Window", "ReadSchema"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Same union-window + bucket-granularity carry as the events "
+            "as-of, at 300× the left cardinality: every window partitions "
+            "by (suppkey, 4-week bucket); the carry join is equi on the "
+            "same composite key. Scan reads only (l_suppkey, l_shipdate, "
+            "l_orderkey, l_linenumber, l_extendedprice)."
+        ),
+    )
+
+    # 20. flat fill twin — the bench's skew-premium baseline
+    add(
+        "locf/nocb/interpolate flat twin (fill_daily_events_flat)",
+        q.q_fill_daily_events_flat(spark, sf),
+        must=["Window"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "The apples-to-apples round-over-round baseline for "
+            "fill_daily_events (which runs LOCF on the bucketed skew "
+            "path): identical fills, single-window keying. The bucketed "
+            "variant's premium on UNskewed data — ~2× at sf0.1, the cost "
+            "of 3 carry stages that only pay off under a hot key "
+            "(BENCH/NOTES.md rate/locf skew table) — is now a tracked "
+            "bench delta (fill_daily_events vs fill_daily_events_flat), "
+            "not a one-off surprise."
+        ),
+    )
+
     sections.append(
         "## Notes\n\n"
         "- `FlatMapGroupsInPandas`/`MapInPandas` appear ONLY in the Gorilla "
