@@ -20,8 +20,11 @@ Run on an idle host: python BENCH/dedup_scale_probe.py [n_docs]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
