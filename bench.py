@@ -178,6 +178,7 @@ def _bench_dedup_scale(spark) -> tuple[dict, dict, dict]:
     from intervalaverage_spark.functions.dedup import (
         dedup_clusters,
         minhash_lsh_pairs,
+        ngram_jaccard_pairs,
         simhash_pairs,
     )
     from intervalaverage_spark.sources.corpus import (
@@ -221,6 +222,12 @@ def _bench_dedup_scale(spark) -> tuple[dict, dict, dict]:
               lambda: dedup_clusters(docs, pairs))
         timed(f"simhash_{n_docs // 1000}k_docs",
               lambda: simhash_pairs(docs, max_hamming=3))
+        # the exact detector on the capped inverted index (3.4M candidates
+        # at max_df=1000 vs 32.2B uncapped — NOTES.md): the 100%-recall
+        # baseline the LSH recall is measured against below
+        timed(f"ngram_jaccard_{n_docs // 1000}k_docs",
+              lambda: ngram_jaccard_pairs(docs, threshold=0.5, max_df=1000),
+              sink="parquet", path=f"{base}/exact_pairs")
 
         qv = [float(x) for x in
               vecs.filter(F.col("vec_id") == 12345).first()["embedding"]]
@@ -238,6 +245,13 @@ def _bench_dedup_scale(spark) -> tuple[dict, dict, dict]:
             truth, ["id1", "id2"], "left_semi").count()
         diag["planted_recall"] = round(
             diag["planted_recovered"] / max(diag["planted_pairs"], 1), 4)
+        # LSH recall vs the EXACT detector at the same threshold (the
+        # detector-level number; planted_recall above is task-level)
+        exact = spark.read.parquet(f"{base}/exact_pairs")
+        diag["exact_pairs"] = exact.count()
+        diag["lsh_vs_exact_recall"] = round(
+            pairs.join(exact, ["id1", "id2"], "left_semi").count()
+            / max(diag["exact_pairs"], 1), 4)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return warm, cold, diag

@@ -473,6 +473,74 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+# --------------------------------------------- sampling / splits / caps
+
+#: the md5 uniform's SQL twin (functions/sampling.py md5_uniform): first
+#: 48 md5 bits over (seed ␟ key), divided by 2^48 — exact in a double, so
+#: both engines land on the bit-identical value and every comparison
+#: against a literal threshold agrees
+def _u_sql(key: str, seed: str) -> str:
+    return (f"CAST(('0x' || substr(md5(concat_ws(chr(31), '{seed}', "
+            f"CAST({key} AS VARCHAR))), 1, 12)) AS BIGINT) "
+            "/ 281474976710656.0")
+
+
+def q_sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus selection end-to-end: a stratified Bernoulli
+    sample (90 % of non-en docs, 40 % of en) followed by a train/val/test
+    split — both pure functions of (seed, doc_id), so DuckDB replays the
+    exact decisions (hash compare, not row-count compare)."""
+    from intervalaverage_spark.functions.sampling import (
+        assign_splits,
+        deterministic_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = deterministic_sample(
+        d, F.when(F.col("lang") == "en", 0.4).otherwise(0.9),
+        ["doc_id"], seed="samp5")
+    out = assign_splits(kept, {"train": 0.9, "val": 0.05, "test": 0.05},
+                        ["doc_id"], seed="split5")
+    return out.select("doc_id", "lang", "source", "split")
+
+
+def _sample_split_sql() -> str:
+    us, up = _u_sql("doc_id", "samp5"), _u_sql("doc_id", "split5")
+    return f"""
+SELECT doc_id, lang, source,
+       CASE WHEN {up} < 0.9 THEN 'train'
+            WHEN {up} < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+WHERE {us} < CASE WHEN lang = 'en' THEN 0.4 ELSE 0.9 END
+"""
+
+
+def q_cap_per_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (CCNet/RefinedWeb-style curation): keep the 15
+    longest docs per source, hash-tiebroken, on the SALTED hot-key path —
+    the flat ROW_NUMBER oracle must match bit-for-bit (salted==flat is
+    the operator's correctness contract)."""
+    from intervalaverage_spark.functions.sampling import cap_per_key
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cap_per_key(d, ["source"], 15, ["doc_id"], order_col="n_chars",
+                      descending=True, seed="cap5", salt_buckets=4)
+    return out.select("doc_id", "source", "n_chars")
+
+
+def _cap_per_source_sql() -> str:
+    return f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC,
+                                     {_u_sql("doc_id", "cap5")} ASC) AS rn
+  FROM documents
+) WHERE rn <= 15
+"""
+
+
 # ----------------------------------------------------------- multimodal
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_embeddings": q_ann_ivf_topk,
         "ann_ivf_pruned_topk_embeddings": q_ann_ivf_pruned_topk,
         "multimodal_decode_documents": q_multimodal_decode,
+        "sample_split_documents": q_sample_split_documents,
+        "cap_per_source_documents": q_cap_per_source_documents,
     }
 
 
@@ -532,4 +602,6 @@ def oracle_sql() -> dict[str, str]:
         # (PartitionFilters on ivf_cell, asserted in BENCH/PLANS.md)
         "ann_ivf_pruned_topk_embeddings": _ann_ivf_sql(),
         "multimodal_decode_documents": MULTIMODAL_SQL,
+        "sample_split_documents": _sample_split_sql(),
+        "cap_per_source_documents": _cap_per_source_sql(),
     }
