@@ -490,6 +490,51 @@ def main() -> None:
         ),
     )
 
+    # 21. reproducible sampling — the selection filter must be a pure
+    # row-local projection: NO exchange anywhere in the plan
+    from intervalaverage_spark.functions.sampling import (
+        cap_per_key,
+        deterministic_sample,
+    )
+
+    docs21 = spark.read.parquet(f"{sf}/documents.parquet")
+    add(
+        "deterministic_sample (md5-uniform Bernoulli, stratified rate)",
+        deterministic_sample(
+            docs21,
+            F.when(F.col("lang") == "en", 0.4).otherwise(0.9),
+            ["doc_id"], seed="plan"),
+        must=["Filter"],
+        must_not=["Exchange", "BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Sampling/splitting are stateless row-local decisions "
+            "(md5 of the row's own key vs a literal threshold): the whole "
+            "plan is Scan → Filter with ZERO exchanges — at 10^12 rows the "
+            "sample costs exactly one pass, embarrassingly parallel, and "
+            "retries/engine migrations reproduce it bit-for-bit."
+        ),
+    )
+
+    # 22. per-key cap, salted hot-key path: two bounded window passes,
+    # no join at all
+    add(
+        "cap_per_key salted (per-domain cap, two-phase top-n)",
+        cap_per_key(docs21, ["source"], 15, ["doc_id"], order_col="n_chars",
+                    descending=True, seed="plan", salt_buckets=4),
+        must=["Window", "__cpk_b"],
+        must_not=["Join", "BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Phase 1 partitions by (source, xxhash64(id) % B) — a hot "
+            "domain's rows spread over B tasks, each keeping n rows; "
+            "phase 2 ranks the ≤ B·n survivors per key (a bounded input, "
+            "so its bare-key exchange is safe). The `__cpk_b` must-have "
+            "certifies the salted phase-1 exchange is actually in the "
+            "plan. No joins, no replication anywhere."
+        ),
+    )
+
     sections.append(
         "## Notes\n\n"
         "- `FlatMapGroupsInPandas`/`MapInPandas` appear ONLY in the Gorilla "

@@ -541,6 +541,59 @@ SELECT doc_id, source, n_chars FROM (
 """
 
 
+def q_curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline in ONE driver row — exact-dedup
+    (keep the canonical doc per md5(text)) → length-stratified
+    deterministic sample → growth-stable splits → per-(source, split)
+    cap on the salted path. Every stage is the library operator; the
+    oracle replays the whole chain in SQL, so the COMPOSITION (not just
+    each stage) is hash-pinned cross-engine."""
+    from intervalaverage_spark.functions.sampling import (
+        assign_splits,
+        cap_per_key,
+        deterministic_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = d.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id"))
+    uniq = d.join(canon.select("doc_id"), "doc_id", "left_semi")
+    kept = deterministic_sample(
+        uniq, F.when(F.col("n_chars") >= 200, 0.9).otherwise(0.4),
+        ["doc_id"], seed="cur5")
+    split = assign_splits(kept, {"train": 0.9, "val": 0.05, "test": 0.05},
+                          ["doc_id"], seed="cur5s")
+    capped = cap_per_key(split, ["source", "split"], 12, ["doc_id"],
+                         order_col="n_chars", descending=True, seed="cur5c",
+                         salt_buckets=4)
+    return capped.select("doc_id", "source", "split", "n_chars")
+
+
+def _curation_pipeline_sql() -> str:
+    us, up = _u_sql("doc_id", "cur5"), _u_sql("doc_id", "cur5s")
+    return f"""
+WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+k AS (
+  SELECT d.* FROM documents d SEMI JOIN canon USING (doc_id)
+  WHERE {us} < CASE WHEN n_chars >= 200 THEN 0.9 ELSE 0.4 END
+),
+s AS (
+  SELECT *, CASE WHEN {up} < 0.9 THEN 'train'
+                 WHEN {up} < 0.95 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM k
+),
+c AS (
+  SELECT doc_id, source, split, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source, split
+                            ORDER BY n_chars DESC,
+                                     {_u_sql("doc_id", "cur5c")} ASC) AS rn
+  FROM s
+)
+SELECT doc_id, source, split, n_chars FROM c WHERE rn <= 12
+"""
+
+
 # ----------------------------------------------------------- multimodal
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_documents": q_multimodal_decode,
         "sample_split_documents": q_sample_split_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
+        "curation_pipeline_documents": q_curation_pipeline_documents,
     }
 
 
@@ -604,4 +658,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_documents": MULTIMODAL_SQL,
         "sample_split_documents": _sample_split_sql(),
         "cap_per_source_documents": _cap_per_source_sql(),
+        "curation_pipeline_documents": _curation_pipeline_sql(),
     }
