@@ -236,6 +236,17 @@ def _bench_dedup_scale(spark) -> tuple[dict, dict, dict]:
                                k=10, n_cells=16, nprobe=2))
         timed(f"ann_brute_{n_vecs // 1000}k_vecs",
               lambda: brute_topk(vecs, qv, "vec_id", "embedding", k=10))
+        # batch k-NN: 500 queries through the shared IVF quantizer in one
+        # distributed plan (the semantic-dedup primitive; the entries
+        # above answer a single query)
+        from intervalaverage_spark.functions.ann import knn_join
+
+        qstep = max(n_vecs // 500, 1)
+        timed(f"knn_join_500q_{n_vecs // 1000}k_vecs",
+              lambda: knn_join(vecs.filter(F.col("vec_id") % qstep == 0),
+                               vecs, "vec_id", "embedding", "vec_id",
+                               "embedding", k=10, n_cells=32, nprobe=2,
+                               exclude_self=True))
 
         # untimed diagnostics: measured recall vs the planted ground truth
         truth = family_pairs(docs)

@@ -438,6 +438,64 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
 """
 
 
+def q_knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN (every 25th vector queries the whole table through the
+    shared IVF quantizer — the semantic-dedup/retrieval primitive; the
+    other ANN rows answer ONE query, this answers them all in one
+    distributed plan). Probe fan-out and exact re-rank are deterministic,
+    so DuckDB replays index assignment, per-query probes, and the final
+    ranking exactly."""
+    from intervalaverage_spark.functions.ann import knn_join
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    out = knn_join(qs, e, "vec_id", "embedding", "vec_id", "embedding",
+                   k=5, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
+                   exclude_self=True)
+    return out.select("q_id", "nn_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _knn_join_sql() -> str:
+    return f"""
+WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM vv ORDER BY vec_id LIMIT {IVF_CELLS}),
+assign AS (
+  SELECT vv.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vv.vec_id
+           ORDER BY ROUND(list_cosine_similarity(vv.v, c.cv), 6) DESC, c.cid
+         ) AS rn
+  FROM vv, c
+),
+cells AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM vv WHERE vec_id % 25 = 0),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid
+           ) AS rn
+    FROM q, c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT q.qid, vv.vec_id AS nn,
+         ROUND(list_cosine_similarity(vv.v, q.qv), 6) AS cosine
+  FROM q JOIN probes USING (qid)
+       JOIN cells ON cells.cid = probes.cid
+       JOIN vv ON vv.vec_id = cells.vec_id
+  WHERE vv.vec_id <> q.qid
+)
+SELECT qid AS q_id, nn AS nn_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, nn) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+
+
 def _dot_sql(vec_expr: str, weights: list[float]) -> str:
     """Explicit left-to-right dot product — same fold order as
     F.aggregate(zip_with(...)) and srp_bucket_py."""
@@ -632,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_topk_embeddings": q_ann_srp_topk,
         "ann_ivf_topk_embeddings": q_ann_ivf_topk,
         "ann_ivf_pruned_topk_embeddings": q_ann_ivf_pruned_topk,
+        "knn_join_embeddings": q_knn_join_embeddings,
         "multimodal_decode_documents": q_multimodal_decode,
         "sample_split_documents": q_sample_split_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
@@ -655,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF path — identical oracle; only the physical plan differs
         # (PartitionFilters on ivf_cell, asserted in BENCH/PLANS.md)
         "ann_ivf_pruned_topk_embeddings": _ann_ivf_sql(),
+        "knn_join_embeddings": _knn_join_sql(),
         "multimodal_decode_documents": MULTIMODAL_SQL,
         "sample_split_documents": _sample_split_sql(),
         "cap_per_source_documents": _cap_per_source_sql(),

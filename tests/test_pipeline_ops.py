@@ -290,3 +290,38 @@ def test_checksum_and_fake_features_match_sequential_reference():
                     s += b[i]
                 exp.append(float(s % 997) / 997.0)
         assert _fake_features(b, 8) == exp, len(b)
+
+
+def test_knn_join_matches_per_query_ivf_topk(spark):
+    """Batch k-NN must equal running the single-query IVF path once per
+    query (same quantizer, same probes, same exact re-rank) — plus the
+    fixed output schema and exclude_self contract."""
+    vecs = [(i, [((i * 37 + d * 11) % 17 - 8) / 8.0 for d in range(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id") % 20 == 0)  # 3 queries
+    out = rows(
+        ann.knn_join(qs, df, "vec_id", "embedding", "vec_id", "embedding",
+                     k=4, n_cells=8, nprobe=2, exclude_self=True),
+        "q_id", "rank",
+    )
+    assert list(out[0]) == ["q_id", "nn_id", "cosine", "rank"]
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert r["nn_id"] != r["q_id"]
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 20, 40}
+    for qid, got in by_q.items():
+        qv = vecs[qid][1]
+        solo = rows(ann.ivf_topk(
+            df.filter(F.col("vec_id") != qid), qv, "vec_id", "embedding",
+            k=4, n_cells=8, nprobe=2))
+        # quantizer caveat: solo's centroids exclude the query id when the
+        # query is among the 8 lowest ids — only compare when it is not
+        if qid >= 8:
+            assert [(r["nn_id"], r["cosine"]) for r in got] == [
+                (r["vec_id"], r["cosine"]) for r in solo]
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    with pytest.raises(ValueError, match="nprobe"):
+        ann.knn_join(qs, df, "vec_id", "embedding", "vec_id", "embedding",
+                     nprobe=0)
