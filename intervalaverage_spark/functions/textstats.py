@@ -140,3 +140,108 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def ngram_list(col: Column | str, n: int) -> Column:
+    """NON-distinct word n-gram list (order preserved, duplicates kept —
+    repetition analysis needs multiplicity; contrast dedup's
+    ``shingles``, which deduplicates). Empty array for docs shorter
+    than ``n`` words."""
+    toks = tokens(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/Dolma quality-filter
+    family) per doc:
+
+    * ``n_lines``, ``dup_line_frac`` (lines occurring more than once /
+      total lines), ``dup_line_char_frac`` (characters inside those
+      duplicate-line occurrences / characters in all lines);
+    * per ``n`` in ``ns``: ``dup_{n}gram_frac`` (n-gram occurrences
+      beyond the first of each distinct gram / total occurrences) and
+      ``top_{n}gram_char_frac`` (chars covered by the single most
+      frequent n-gram = count·len(gram) / doc chars; ties broken by
+      longer gram then lexicographic — deterministic in any engine).
+
+    Plan per signal family: one explode → groupBy(doc, unit) count →
+    groupBy(doc) aggregate → left-join back on the doc id. Everything is
+    keyed by the doc — no global state, no skew (a doc's units stay
+    together), no Python. Fractions are floor-truncated to 6 dp
+    (cross-engine rounding-mode safety, like :func:`text_stats`).
+    Docs with no lines/grams get 0.0 fractions."""
+    c = F.col(text_col)
+    base = df.select(F.col(id_col).alias("__rs_id"), c.alias("__rs_text"))
+
+    lines = base.select(
+        "__rs_id", F.explode(F.split("__rs_text", "\n")).alias("__ln")
+    )
+    lc = lines.groupBy("__rs_id", "__ln").agg(F.count(F.lit(1)).alias("__c"))
+    ln_chars = F.length("__ln") * F.col("__c")
+    line_stats = lc.groupBy("__rs_id").agg(
+        F.sum("__c").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias("__dl"),
+        F.sum(F.when(F.col("__c") > 1, ln_chars).otherwise(0)).alias("__dlc"),
+        F.sum(ln_chars).alias("__lc"),
+    )
+    zero = F.lit(0.0)
+    line_stats = line_stats.select(
+        "__rs_id", "n_lines",
+        _trunc6(F.when(F.col("n_lines") > 0,
+                       F.col("__dl") / F.col("n_lines")).otherwise(zero))
+        .alias("dup_line_frac"),
+        _trunc6(F.when(F.col("__lc") > 0,
+                       F.col("__dlc") / F.col("__lc")).otherwise(zero))
+        .alias("dup_line_char_frac"),
+    )
+
+    out = df.join(line_stats, df[id_col] == line_stats["__rs_id"], "left").drop(
+        "__rs_id"
+    )
+    for n in ns:
+        g = base.select(
+            "__rs_id", F.explode(ngram_list("__rs_text", n)).alias("__g")
+        )
+        gc = g.groupBy("__rs_id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+        top = F.max(F.struct(F.col("__c"), F.length("__g").alias("__l"),
+                             F.col("__g")))
+        gs = gc.groupBy("__rs_id").agg(
+            F.sum("__c").alias("__tot"),
+            F.count(F.lit(1)).alias("__dst"),
+            top.alias("__top"),
+        )
+        gs = gs.select(
+            "__rs_id",
+            _trunc6(F.when(F.col("__tot") > 0,
+                           (F.col("__tot") - F.col("__dst")) / F.col("__tot"))
+                    .otherwise(zero)).alias(f"dup_{n}gram_frac"),
+            (F.col("__top")["__c"] * F.col("__top")["__l"]).alias("__topc"),
+        )
+        out = (
+            out.join(gs, out[id_col] == gs["__rs_id"], "left")
+            .drop("__rs_id")
+            .withColumn(
+                f"top_{n}gram_char_frac",
+                _trunc6(F.when(
+                    F.length(F.col(text_col)) > 0,
+                    F.coalesce(F.col("__topc"), F.lit(0)) / F.length(F.col(text_col)),
+                ).otherwise(zero)),
+            )
+            .drop("__topc")
+        )
+    fill = {
+        "n_lines": 0, "dup_line_frac": 0.0, "dup_line_char_frac": 0.0,
+        **{f"dup_{n}gram_frac": 0.0 for n in ns},
+        **{f"top_{n}gram_char_frac": 0.0 for n in ns},
+    }
+    return out.fillna(fill)

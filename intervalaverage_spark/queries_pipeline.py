@@ -107,6 +107,72 @@ FROM st
 """
 
 
+def q_repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma-style within-doc repetition signals (duplicate-line
+    fractions + repeated / top n-gram character coverage) — the quality-
+    filter family a curation pipeline gates on before dedup."""
+    from intervalaverage_spark.functions.textstats import repetition_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_stats(d.select("doc_id", "text"), ns=(2, 3))
+    return out.select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "dup_2gram_frac", "top_2gram_char_frac",
+        "dup_3gram_frac", "top_3gram_char_frac",
+    )
+
+
+def _repetition_sql() -> str:
+    def gfrag(n: int) -> str:
+        # non-distinct n-grams with multiplicity; mirrors ngram_list
+        return (
+            f"g{n} AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= {n} THEN "
+            f"[array_to_string(tk[i:i+{n - 1}], ' ') "
+            f"for i in range(1, len(tk) - {n} + 2)] "
+            "ELSE [] END) AS g FROM toks),\n"
+            f"gc{n} AS (SELECT doc_id, g, COUNT(*) AS c FROM g{n} GROUP BY 1, 2),\n"
+            f"gs{n} AS (SELECT doc_id, SUM(c) AS tot, COUNT(*) AS dst,\n"
+            f"          MAX(struct_pack(c := c, l := length(g), g := g)) AS top\n"
+            f"          FROM gc{n} GROUP BY 1)"
+        )
+
+    def gcols(n: int) -> str:
+        return (
+            f"floor(CASE WHEN gs{n}.tot > 0 THEN (gs{n}.tot - gs{n}.dst) / gs{n}.tot "
+            f"ELSE 0.0 END * 1000000.0) / 1000000.0 AS dup_{n}gram_frac,\n"
+            f"       floor(CASE WHEN length(d.text) > 0 THEN "
+            f"COALESCE(struct_extract(gs{n}.top, 'c') * struct_extract(gs{n}.top, 'l'), 0) "
+            f"/ length(d.text) ELSE 0.0 END * 1000000.0) / 1000000.0 "
+            f"AS top_{n}gram_char_frac"
+        )
+
+    return f"""
+WITH {_TOKS_SQL},
+ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents),
+lc AS (SELECT doc_id, l, COUNT(*) AS c FROM ln GROUP BY 1, 2),
+lstat AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_lines,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dl,
+         SUM(CASE WHEN c > 1 THEN length(l) * c ELSE 0 END) AS dlc,
+         SUM(length(l) * c) AS lc2
+  FROM lc GROUP BY 1
+),
+{gfrag(2)},
+{gfrag(3)}
+SELECT d.doc_id, lstat.n_lines,
+       floor(CASE WHEN lstat.n_lines > 0 THEN lstat.dl / lstat.n_lines
+             ELSE 0.0 END * 1000000.0) / 1000000.0 AS dup_line_frac,
+       floor(CASE WHEN lstat.lc2 > 0 THEN lstat.dlc / lstat.lc2
+             ELSE 0.0 END * 1000000.0) / 1000000.0 AS dup_line_char_frac,
+       {gcols(2)},
+       {gcols(3)}
+FROM documents d
+JOIN lstat USING (doc_id)
+LEFT JOIN gs2 ON gs2.doc_id = d.doc_id
+LEFT JOIN gs3 ON gs3.doc_id = d.doc_id
+"""
+
+
 # ------------------------------------------------------------ fuzzy dedup
 
 #: stop-shingle document-frequency cap — bounds the inverted-index
@@ -680,6 +746,7 @@ FROM documents
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats_documents": q_text_stats_documents,
+        "repetition_stats_documents": q_repetition_stats_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
@@ -701,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "text_stats_documents": _text_stats_sql(),
+        "repetition_stats_documents": _repetition_sql(),
         "ngram_jaccard_documents": NGRAM_JACCARD_SQL,
         "minhash_lsh_documents": _minhash_lsh_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),

@@ -325,3 +325,43 @@ def test_knn_join_matches_per_query_ivf_topk(spark):
     with pytest.raises(ValueError, match="nprobe"):
         ann.knn_join(qs, df, "vec_id", "embedding", "vec_id", "embedding",
                      nprobe=0)
+
+
+def test_repetition_stats_known_answers(spark):
+    from intervalaverage_spark.functions.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c\nx\nx"),  # dup line "x", repeated 2-gram "a b"
+            (2, ""),                 # empty: all signals 0
+            (3, "hello"),            # 1 line, no 2/3-grams
+            (4, "w w w w"),          # maximal repetition: "w w" x3
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    # duplicated line chars = 2·len("x") over total line chars 9+1+1
+    assert r1["dup_line_char_frac"] == pytest.approx(2 / 11, abs=1e-6)
+    # 2-grams: [a b, b a, a b, b c, c x, x x] → 6 total, 5 distinct
+    assert r1["dup_2gram_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    # top 2-gram "a b": count 2 × len 3 over 13 text chars
+    assert r1["top_2gram_char_frac"] == pytest.approx(6 / 13, abs=1e-6)
+    r2 = out[2]
+    assert (r2["dup_line_frac"], r2["dup_2gram_frac"],
+            r2["top_2gram_char_frac"]) == (0.0, 0.0, 0.0)
+    r3 = out[3]
+    assert r3["n_lines"] == 1 and r3["dup_2gram_frac"] == 0.0
+    r4 = out[4]
+    # "w w" appears 3 times of 3 2-grams → dup = 2/3; top covers 9/7? no:
+    # count 3 × len 3 = 9 over 7 chars — capped by nothing, honest ratio
+    assert r4["dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r4["top_2gram_char_frac"] == pytest.approx(9 / 7, abs=1e-6)
+    # schema: input columns preserved + the documented stat columns
+    assert set(repetition_stats(docs).columns) == {
+        "doc_id", "text", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "dup_2gram_frac", "top_2gram_char_frac",
+        "dup_3gram_frac", "top_3gram_char_frac",
+    }
