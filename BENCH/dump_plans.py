@@ -560,6 +560,27 @@ def main() -> None:
         ),
     )
 
+    # 24. repetition stats — explode/count/agg/join-back, all keyed by doc
+    from intervalaverage_spark.functions.textstats import repetition_stats
+
+    docs24 = spark.read.parquet(f"{sf}/documents.parquet")
+    add(
+        "repetition_stats (within-doc quality signals)",
+        repetition_stats(docs24.select("doc_id", "text"), ns=(2, 3)),
+        must=["HashAggregate"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas",
+                  "ArrowEvalPython", "Window"],
+        note=(
+            "Three signal families (lines, 2-grams, 3-grams), each one "
+            "explode → (doc, unit) count → per-doc aggregate → equi "
+            "join-back on the doc id. Map-side partial aggregation "
+            "applies to every count; no window functions, no Python, "
+            "nothing keyed coarser than the doc — a 10^9-doc corpus "
+            "spreads perfectly."
+        ),
+    )
+
     sections.append(
         "## Notes\n\n"
         "- `FlatMapGroupsInPandas`/`MapInPandas` appear ONLY in the Gorilla "

@@ -188,3 +188,63 @@ def test_rolling_minmax_equals_direct_frame(spark, pts, w):
     for c in ("v_roll_min", "v_roll_max"):
         f, b = want[c].to_numpy(), got[c].to_numpy()
         assert ((pd.isna(f) & pd.isna(b)) | np.isclose(f, b, equal_nan=True)).all(), c
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 300),        # id
+                  st.integers(0, 3),          # key (few keys -> hot)
+                  st.integers(-50, 50)),      # quality
+        min_size=1, max_size=60, unique_by=lambda t: t[0]),
+    n=st.integers(1, 5),
+    buckets=st.integers(1, 6),
+)
+def test_cap_per_key_flat_eq_salted_property(spark, rows, n, buckets):
+    """Salted two-phase cap must equal the flat window for ANY data/knob
+    combo — including n larger than a group, all-one-key hot inputs, and
+    quality ties (hash tiebreak decides identically on both paths)."""
+    from intervalaverage_spark.functions.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "key", "q"]))
+    flat = cap_per_key(df, ["key"], n, ["id"], order_col="q")
+    salted = cap_per_key(df, ["key"], n, ["id"], order_col="q",
+                         salt_buckets=buckets)
+    a = sorted(map(tuple, flat.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+    per_key: dict[int, int] = {}
+    for _, k, _q in a:
+        per_key[k] = per_key.get(k, 0) + 1
+    assert all(v <= n for v in per_key.values())
+
+
+@SET
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \n", min_size=0, max_size=40),
+        min_size=1, max_size=8),
+)
+def test_repetition_stats_invariants(spark, texts):
+    """dup fractions live in [0, 1]; top-gram coverage is non-negative
+    (may exceed 1 — overlapping grams); n_lines matches a python split;
+    dup_line_frac == python reference on arbitrary whitespace soup."""
+    from intervalaverage_spark.functions.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    out = {r["doc_id"]: r for r in repetition_stats(df, ns=(2,)).collect()}
+    for i, t in enumerate(texts):
+        r = out[i]
+        lines = t.split("\n")
+        assert r["n_lines"] == len(lines)
+        from collections import Counter
+
+        cnt = Counter(lines)
+        dup = sum(c for c in cnt.values() if c > 1)
+        assert r["dup_line_frac"] == pytest.approx(
+            dup / len(lines), abs=2e-6)
+        assert 0.0 <= r["dup_line_frac"] <= 1.0
+        assert 0.0 <= r["dup_2gram_frac"] <= 1.0
+        assert r["top_2gram_char_frac"] >= 0.0
