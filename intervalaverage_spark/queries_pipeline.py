@@ -522,7 +522,7 @@ def q_knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
-def _knn_join_sql() -> str:
+def _knn_join_sql(qpred: str = "vec_id % 25 = 0", k: int = 5) -> str:
     return f"""
 WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM vv ORDER BY vec_id LIMIT {IVF_CELLS}),
@@ -535,7 +535,7 @@ assign AS (
   FROM vv, c
 ),
 cells AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
-q AS (SELECT vec_id AS qid, v AS qv FROM vv WHERE vec_id % 25 = 0),
+q AS (SELECT vec_id AS qid, v AS qv FROM vv WHERE {qpred}),
 probes AS (
   SELECT qid, cid FROM (
     SELECT q.qid, c.cid,
@@ -558,7 +558,7 @@ SELECT qid AS q_id, nn AS nn_id, cosine, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                ORDER BY cosine DESC, nn) AS rank
   FROM cand
-) WHERE rank <= 5
+) WHERE rank <= {k}
 """
 
 
@@ -718,6 +718,52 @@ SELECT doc_id, source, split, n_chars FROM c WHERE rn <= 12
 """
 
 
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end in ONE driver row — every vector finds
+    its k nearest through the shared IVF quantizer (knn_join), pairs at
+    cosine ≥ 0.4 feed connected components (dedup_clusters), and each
+    vector lands in a canonical cluster. The composition a real
+    embedding-dedup pipeline runs; the oracle replays kNN, thresholding,
+    AND the recursive component walk, so the whole chain is hash-pinned."""
+    from intervalaverage_spark.functions.ann import knn_join
+    from intervalaverage_spark.functions.dedup import dedup_clusters
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nn = knn_join(e, e, "vec_id", "embedding", "vec_id", "embedding",
+                  k=3, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
+                  exclude_self=True)
+    pairs = (
+        nn.filter(F.col("cosine") >= 0.4)
+        .select(F.least("q_id", "nn_id").alias("id1"),
+                F.greatest("q_id", "nn_id").alias("id2"))
+        .distinct()
+    )
+    return dedup_clusters(e.select("vec_id"), pairs, id_col="vec_id")
+
+
+def _semantic_dedup_sql() -> str:
+    inner = _knn_join_sql(qpred="TRUE", k=3)
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT q_id, nn_id, cosine FROM ({inner})),
+p AS (
+  SELECT DISTINCT least(q_id, nn_id) AS id1, greatest(q_id, nn_id) AS id2
+  FROM nn WHERE cosine >= 0.4
+),
+e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+walk(n, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN e ON e.a = w.n
+),
+comp AS (SELECT n AS vec_id, MIN(lab) AS canonical_id FROM walk GROUP BY n)
+SELECT c.vec_id, c.canonical_id, CAST(s.cnt AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT canonical_id, COUNT(*) AS cnt FROM comp GROUP BY 1) s
+  USING (canonical_id)
+"""
+
+
 # ----------------------------------------------------------- multimodal
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_embeddings": q_ann_ivf_topk,
         "ann_ivf_pruned_topk_embeddings": q_ann_ivf_pruned_topk,
         "knn_join_embeddings": q_knn_join_embeddings,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "multimodal_decode_documents": q_multimodal_decode,
         "sample_split_documents": q_sample_split_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
@@ -783,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         # (PartitionFilters on ivf_cell, asserted in BENCH/PLANS.md)
         "ann_ivf_pruned_topk_embeddings": _ann_ivf_sql(),
         "knn_join_embeddings": _knn_join_sql(),
+        "semantic_dedup_embeddings": _semantic_dedup_sql(),
         "multimodal_decode_documents": MULTIMODAL_SQL,
         "sample_split_documents": _sample_split_sql(),
         "cap_per_source_documents": _cap_per_source_sql(),
