@@ -173,6 +173,37 @@ LEFT JOIN gs3 ON gs3.doc_id = d.doc_id
 """
 
 
+def q_streaming_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming on the WEB-TEXT axis: documents as a bounded file stream
+    (availableNow), :func:`text_stats` applied per micro-batch — a pure
+    stateless projection, so no watermark and no state store — into a
+    memory sink. The oracle is the SAME batch text-stats SQL: a stateless
+    streaming map must be indistinguishable from batch (the timeseries
+    streaming rows prove the stateful/windowed side; this pins the
+    stateless side of the streaming surface)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    out = text_stats(src).drop("text")
+    name = "q_streaming_text_stats_documents"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_text_stats: availableNow query did not finish "
+            "within 300s; refusing to compare a truncated sink"
+        )
+    q.stop()
+    return spark.table(name)
+
+
 # ------------------------------------------------------------ fuzzy dedup
 
 #: stop-shingle document-frequency cap — bounds the inverted-index
@@ -793,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats_documents": q_text_stats_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
+        "streaming_text_stats_documents": q_streaming_text_stats_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
@@ -816,6 +848,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "text_stats_documents": _text_stats_sql(),
         "repetition_stats_documents": _repetition_sql(),
+        # identical oracle to the batch text stats: a stateless streaming
+        # projection must be indistinguishable from the batch plan
+        "streaming_text_stats_documents": _text_stats_sql(),
         "ngram_jaccard_documents": NGRAM_JACCARD_SQL,
         "minhash_lsh_documents": _minhash_lsh_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
