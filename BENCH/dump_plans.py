@@ -581,6 +581,68 @@ def main() -> None:
         ),
     )
 
+    # 25. incremental dedup — the delta's band rows BROADCAST-probe the
+    # persisted index: the index side must never shuffle
+    from intervalaverage_spark.functions.dedup import (
+        incremental_minhash_lsh_pairs,
+        minhash_band_index,
+    )
+
+    docs25 = spark.read.parquet(f"{sf}/documents.parquet")
+    delta25 = docs25.filter(F.col("doc_id") % 10 == 0)
+    base25 = docs25.filter(F.col("doc_id") % 10 != 0)
+    idx_tmp = tempfile.mkdtemp(prefix="ia_plans_incidx_")
+    minhash_band_index(base25, "doc_id", "text", n=3, num_hashes=16,
+                       bands=4).write.mode("overwrite").parquet(idx_tmp)
+    inc_pairs, _ = incremental_minhash_lsh_pairs(
+        docs25, delta25, spark.read.parquet(idx_tmp), "doc_id", "text",
+        n=3, num_hashes=16, bands=4, threshold=0.5)
+    add(
+        "incremental dedup (delta band rows broadcast-probe the index)",
+        inc_pairs,
+        must=["BroadcastHashJoin", "ReadSchema"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "FlatMapGroupsInPandas",
+                  "ArrowEvalPython"],
+        note=(
+            "Snapshot ingest: the delta is signed (O(delta) explode + "
+            "groupBy), its band rows are BROADCAST against the persisted "
+            "index scan — the `BroadcastHashJoin` must-have certifies the "
+            "index side never shuffles (with the index bucketed by bkey "
+            "the scan prunes too); new×new candidates come from the "
+            "delta's own self-join, and the exact verify semi-joins the "
+            "corpus to candidate ids only. Nothing in the plan scales "
+            "with corpus size except the one index/corpus scan."
+        ),
+    )
+
+    # 26. broadcast-centroid knn_join — Arrow appears ONLY for the cell
+    # assignment/probe GEMM (the sanctioned regime); rerank stays JVM
+    add(
+        "knn_join method='broadcast' (GEMM assignment, JVM rerank)",
+        knn_join(emb23.filter(F.col("vec_id") % 25 == 0), emb23,
+                 "vec_id", "embedding", "vec_id", "embedding",
+                 k=5, n_cells=16, nprobe=2, exclude_self=True,
+                 method="broadcast"),
+        must=["ArrowEvalPython", "Window"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "The n_cells ≈ √n path: cell assignment and probe fan-out are "
+            "one numpy GEMM per Arrow batch against a broadcast centroid "
+            "matrix (`ArrowEvalPython` is EXPECTED here — the Arrow cost "
+            "is amortized n_cells ways per row, the opposite regime from "
+            "the removed per-pair rerank), while candidates still meet in "
+            "an equi-join on the cell id and the exact re-rank stays the "
+            "JVM expression window. Output equals the literal path "
+            "bit-for-bit (pytest + driver row knn_join_self_embeddings)."
+        ),
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(ivf_tmp, ignore_errors=True)
+    _shutil.rmtree(idx_tmp, ignore_errors=True)
+
     sections.append(
         "## Notes\n\n"
         "- `FlatMapGroupsInPandas`/`MapInPandas` appear ONLY in the Gorilla "
@@ -588,7 +650,10 @@ def main() -> None:
         "expressions cannot express; both are Arrow-batched and "
         "numpy-vectorized inside (input_hint: no per-row Python). Since "
         "round 2 the interval_average maxgap is pure JVM window state — "
-        "no pandas anywhere in the relational operators.\n"
+        "no pandas anywhere in the relational operators. Round 6 adds ONE "
+        "sanctioned `ArrowEvalPython` site: broadcast-centroid IVF "
+        "assignment (section above), where one GEMM replaces n_cells "
+        "interpreted folds per row.\n"
         "- Layout scans (plans/layout.py) carry `PartitionFilters` on "
         "(d, p) — asserted in tests/test_layout.py; ANN layouts "
         "(ivf_cell / srp_b0) partition-prune likewise (section above + "

@@ -118,8 +118,96 @@ def _cos_py(a: list[float], b: list[float]) -> float:
     return dot / (na**0.5 * nb**0.5)
 
 
+def _centroid_matrix(cents: list[tuple[int, list[float]]]):
+    """(cids ascending, L2-normalized centroid matrix) for the broadcast
+    assignment path. Ascending cid order makes numpy's first-occurrence
+    ``argmax`` the same tie-break as the literal path's ``greatest`` over
+    (cosine, -cid) structs: among equal rounded cosines, lowest cid."""
+    import numpy as np
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    order = np.argsort(cids)
+    cids = cids[order]
+    mat = np.array([cents[i][1] for i in order], dtype=np.float64)
+    return cids, mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+
+
+def assign_cells_broadcast(
+    df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]],
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Cell assignment against a BROADCAST centroid table — the
+    n_cells ≈ √n path. The literal-expression path (:func:`ivf_cells`
+    default) compiles one struct literal PER CENTROID into the
+    projection: at the n_cells a 10^8-vector table wants (~10^4), that is
+    10^4 interpreted higher-order cosine folds per row and a plan tree
+    Catalyst cannot sensibly compile. Here the centroid matrix ships
+    once per executor (``sc.broadcast``) and each Arrow batch does ONE
+    numpy GEMM (batch × n_cells × dim) + argmax.
+
+    This is the regime where a pandas_udf WINS: per row it replaces
+    n_cells interpreted folds, so the Arrow serialization of the vector
+    is amortized n_cells ways. (Contrast the round-5 rerank negative
+    result — per-PAIR scoring, where Arrow shipped TWO vectors per
+    single cosine and lost 1.6-1.9×. Measured crossover:
+    BENCH/NOTES.md "IVF assignment: literal vs broadcast".)
+
+    Tie-break and rounding mirror the literal path exactly (cosine
+    rounded to 6 dp, ties → lowest centroid id), equality-pinned by
+    tests/test_pipeline_ops.py on the fixture embeddings."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(_centroid_matrix(cents))
+
+    @pandas_udf("long")
+    def _cell(vs: pd.Series) -> pd.Series:
+        cids, cmat = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        v = np.array(vs.tolist(), dtype=np.float64)
+        vn = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+        scores = np.round(vn @ cmat.T, 6)
+        return pd.Series(cids[scores.argmax(axis=1)])
+
+    return df.withColumn(out_col, _cell(F.col(vec_col)))
+
+
+def probe_cells_broadcast(
+    df: DataFrame, vec_col: str | Column,
+    cents: list[tuple[int, list[float]]], nprobe: int,
+) -> Column:
+    """Per-row array of the ``nprobe`` centroid ids nearest each vector
+    (cosine desc, cid-asc ties) via the broadcast centroid matrix — the
+    query-side twin of :func:`assign_cells_broadcast` for
+    :func:`knn_join`'s probe fan-out at large n_cells. ``df`` supplies
+    the SparkContext the centroid matrix is broadcast through."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(_centroid_matrix(cents))
+
+    @pandas_udf("array<long>")
+    def _probes(vs: pd.Series) -> pd.Series:
+        cids, cmat = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        v = np.array(vs.tolist(), dtype=np.float64)
+        vn = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+        scores = np.round(vn @ cmat.T, 6)
+        # stable argsort on -scores: descending cosine, cid-asc ties
+        # (columns are already cid-ascending)
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cids[row].tolist() for row in idx])
+
+    return _probes(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
 def ivf_cells(
-    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int = 16,
+    method: str = "literal",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF-flat coarse quantizer with DETERMINISTIC sampled centroids: the
     ``n_cells`` lowest-id vectors ARE the centroids (no RNG, no k-means
@@ -136,11 +224,22 @@ def ivf_cells(
     serialization and lost 1.6-1.9× at dims 64 AND 512) — stay on the
     expression form. Real IVF trains
     centroids with k-means — sampled centroids are the deterministic
-    stand-in with the same query-time structure (quantize → probe)."""
+    stand-in with the same query-time structure (quantize → probe).
+
+    ``method``: ``"literal"`` (default) compiles the centroids into the
+    projection — right up to ~10² cells; ``"broadcast"`` ships them as a
+    broadcast numpy matrix and assigns via one GEMM per Arrow batch
+    (:func:`assign_cells_broadcast`) — the n_cells ≈ √n regime (10^4
+    cells at 10^8 vectors), where a literal plan tree stops compiling
+    sensibly. Both produce the IDENTICAL assignment (equality-pinned)."""
+    if method not in ("literal", "broadcast"):
+        raise ValueError(f"method must be 'literal' or 'broadcast', got {method!r}")
     cents = [
         (int(r[id_col]), [float(x) for x in r[vec_col]])
         for r in df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     ]
+    if method == "broadcast":
+        return assign_cells_broadcast(df, vec_col, cents), cents
     v = F.col(vec_col).cast("array<double>")
     cands = [
         F.struct(
@@ -200,6 +299,7 @@ def knn_join(
     n_cells: int = 16,
     nprobe: int = 2,
     exclude_self: bool = False,
+    method: str = "literal",
 ) -> DataFrame:
     """Top-``k`` neighbors from ``index`` for EVERY row of ``queries`` —
     the batch primitive of semantic dedup / retrieval pipelines (the
@@ -228,23 +328,31 @@ def knn_join(
     at 1.9× SLOWER (200k×64d: 93 s vs 177 s; 50k×512d: 58 s vs 91 s,
     local[32]) — serializing both candidate vectors through Arrow costs
     more than the interpreted fold at every realistic width, and the
-    expression keeps the cross-engine bit-guarantee the oracle needs."""
+    expression keeps the cross-engine bit-guarantee the oracle needs.
+    (That verdict is about the RERANK. Cell ASSIGNMENT at large n_cells
+    is the opposite regime — ``method="broadcast"`` routes it through
+    :func:`assign_cells_broadcast` / :func:`probe_cells_broadcast`,
+    where one GEMM replaces n_cells folds per row; identical output,
+    equality-pinned.)"""
     if nprobe < 1 or nprobe > n_cells:
         raise ValueError(f"need 1 <= nprobe <= n_cells, got {nprobe}")
-    assigned, cents = ivf_cells(index, id_col, vec_col, n_cells)
+    assigned, cents = ivf_cells(index, id_col, vec_col, n_cells, method=method)
     qv = F.col(q_vec_col).cast("array<double>")
-    cand = [
-        F.struct(
-            F.round(cosine(qv, F.array(*[F.lit(x) for x in cv])), 6).alias("c"),
-            F.lit(-cid).cast("long").alias("nid"),  # desc-sort ⇒ cid asc ties
-            F.lit(cid).cast("long").alias("cid"),
+    if method == "broadcast":
+        probes = probe_cells_broadcast(queries, q_vec_col, cents, nprobe)
+    else:
+        cand = [
+            F.struct(
+                F.round(cosine(qv, F.array(*[F.lit(x) for x in cv])), 6).alias("c"),
+                F.lit(-cid).cast("long").alias("nid"),  # desc-sort ⇒ cid asc ties
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+        probes = F.transform(
+            F.slice(F.sort_array(F.array(*cand), asc=False), 1, nprobe),
+            lambda s: s["cid"],
         )
-        for cid, cv in cents
-    ]
-    probes = F.transform(
-        F.slice(F.sort_array(F.array(*cand), asc=False), 1, nprobe),
-        lambda s: s["cid"],
-    )
     qp = queries.select(
         F.col(q_id_col).alias("__knn_qid"),
         F.col(q_vec_col).alias("__knn_qv"),

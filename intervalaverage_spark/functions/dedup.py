@@ -138,6 +138,25 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------- MinHash + LSH
 
+def hot_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Stop-shingle list: shingles whose document frequency exceeds
+    ``max_df`` (one column ``sh``). Computed once over a corpus and
+    PERSISTED alongside the band index (:func:`minhash_band_index`) so
+    incremental ingest signs new batches against the SAME frozen stop
+    list the existing signatures used — the precondition for
+    ``incremental == full-recompute`` equality. Refresh it (and re-sign)
+    on the cadence the corpus' boilerplate drifts."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(shingles(text_col, n)).alias("sh"))
+    return sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -145,6 +164,7 @@ def minhash_signature(
     n: int = 3,
     num_hashes: int = 16,
     max_df: int | None = None,
+    stop_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: for permutation j, ``min(md5(j || ':' ||
     shingle))`` as a hex STRING (lexicographic min ≡ min over uniform
@@ -157,19 +177,65 @@ def minhash_signature(
     LSH candidate pairs quadratically (measured: BENCH/NOTES.md
     "Dedup at 100k docs"). A doc whose EVERY shingle is hot drops out of
     the signature table (and so can never be a candidate) — cap well
-    above the boilerplate DF, not near the median."""
+    above the boilerplate DF, not near the median.
+
+    ``stop_shingles`` supplies the stop list EXPLICITLY (a persisted
+    :func:`hot_shingles` table) instead of recomputing it from ``df`` —
+    the incremental-ingest path, where the new batch must be signed
+    against the index's frozen stop list, not its own tiny histogram."""
+    if max_df is not None and stop_shingles is not None:
+        raise ValueError("pass max_df OR stop_shingles, not both")
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("sh"),
     )
     if max_df is not None:
-        hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        stop_shingles = (
+            sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+        )
+    if stop_shingles is not None:
+        sh = sh.join(F.broadcast(stop_shingles.select("sh")), "sh", "left_anti")
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh_{j}")
         for j in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_df: int | None = None,
+    stop_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The PERSISTABLE LSH index: one row per (id, band, bkey), where
+    ``bkey = md5('|'-join of the band's minhashes)``. This is what a
+    100 TB corpus stores between crawl snapshots (parquet, partitioned or
+    bucketed by ``bkey`` so delta probes co-locate) — candidate
+    generation for a new batch then touches only the buckets the batch's
+    own band keys hit (:func:`incremental_minhash_lsh_pairs`), never the
+    rest of the corpus."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes,
+                            max_df=max_df, stop_shingles=stop_shingles)
+    return sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(
+                    "|", *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                )).alias("bkey"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
 
 
 def minhash_lsh_pairs(
@@ -195,20 +261,8 @@ def minhash_lsh_pairs(
     verify step still scores the TRUE Jaccard over unfiltered shingles,
     so the threshold means what it says.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must divide evenly into bands")
-    r = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, n, num_hashes, max_df=max_df)
-    band_rows = sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)])).alias("bkey"),
-            )
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select("id", "bk.band", "bk.bkey")
+    band_rows = minhash_band_index(df, id_col, text_col, n, num_hashes,
+                                   bands, max_df=max_df)
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -217,11 +271,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    # bound the verify shuffle: only docs that appear in ≥1 candidate pair
-    # need their (wide) shingle array built and shuffled — semi-join the
-    # corpus to candidate ids FIRST, so the array-bearing exchange carries
-    # O(candidate docs), not O(corpus). At 10^9 docs the candidate set is
-    # orders of magnitude smaller than the table.
+    return _verify_jaccard(df, cand, id_col, text_col, n, threshold)
+
+
+def _verify_jaccard(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (id1, id2) against
+    the corpus' FULL shingle sets → (id1, id2, jaccard ≥ threshold).
+
+    Bounds the verify shuffle: only docs that appear in ≥1 candidate pair
+    need their (wide) shingle array built and shuffled — semi-join the
+    corpus to candidate ids FIRST, so the array-bearing exchange carries
+    O(candidate docs), not O(corpus). At 10^9 docs the candidate set is
+    orders of magnitude smaller than the table."""
     cand_ids = (
         cand.select(F.col("id1").alias("cid"))
         .unionByName(cand.select(F.col("id2").alias("cid")))
@@ -248,6 +316,72 @@ def minhash_lsh_pairs(
     return verified.select(
         "id1", "id2", F.round("j", 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def incremental_minhash_lsh_pairs(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    stop_shingles: DataFrame | None = None,
+    broadcast_delta: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an EXISTING corpus without recomputing
+    the corpus — the crawl-snapshot ingest path (a 100 TB corpus never
+    re-signs 10^9 documents because 10^6 arrived).
+
+    Inputs: ``corpus`` = the full docs table INCLUDING the new batch
+    (verification needs both sides' text; it is the lake table, already
+    there); ``new_docs`` = the delta; ``band_index`` = the PERSISTED
+    (id, band, bkey) rows of the existing corpus
+    (:func:`minhash_band_index`, written at the previous ingest);
+    ``stop_shingles`` = the index's frozen stop list (must be the one the
+    index was signed with — see :func:`hot_shingles`).
+
+    Returns ``(pairs, new_band_rows)``: ``pairs`` = exact-verified
+    near-dup pairs TOUCHING ≥1 new doc (new×old and new×new; old×old
+    pairs were found at their own ingest), ``new_band_rows`` = the
+    delta's band rows — append them to the persisted index to complete
+    the ingest. INVARIANT (pytest-pinned on the planted-family corpus):
+    incremental pairs == full-recompute pairs restricted to pairs
+    touching the delta, provided the same stop list signs both.
+
+    Cost scales with the DELTA, not the corpus: signing is
+    O(new docs); candidate generation joins the delta's band rows
+    against the index on (band, bkey) — with ``broadcast_delta`` the
+    index side never shuffles (one scan, hash-probe per row; with the
+    index stored bucketed by bkey, scan-pruned too). Disable the
+    broadcast for deltas too large to fit an executor (falls back to a
+    sort-merge join on the band key — uniform md5 keys, no skew)."""
+    new_bands = minhash_band_index(
+        new_docs, id_col, text_col, n, num_hashes, bands,
+        stop_shingles=stop_shingles,
+    )
+    probe = F.broadcast(new_bands) if broadcast_delta else new_bands
+    a, b_ = probe.alias("a"), band_index.alias("b")
+    # new × old: either id order is possible — normalize to id1 < id2
+    no = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.id") != F.col("b.id")))
+        .select(F.least("a.id", "b.id").alias("id1"),
+                F.greatest("a.id", "b.id").alias("id2"))
+    )
+    # new × new: both sides in the delta
+    a2, b2 = new_bands.alias("a"), new_bands.alias("b")
+    nn = (
+        a2.join(b2, (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+    cand = no.unionByName(nn).distinct()
+    return _verify_jaccard(corpus, cand, id_col, text_col, n, threshold), new_bands
 
 
 # ------------------------------------------------------------- SimHash

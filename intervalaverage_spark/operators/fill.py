@@ -40,6 +40,25 @@ from intervalaverage_spark.plans.rangejoin import fdiv
 from intervalaverage_spark.validation import IntervalSchemaError
 
 
+def _order_distance_col(df: DataFrame, order_col: str,
+                        bucket_width: int | None) -> Column:
+    """Order expression used for ``limit`` distance arithmetic. Numeric
+    order columns keep their NATIVE type on the flat path (a long cast
+    would silently truncate a double order column, changing limit
+    semantics); timestamp/date columns are cast to long (epoch seconds /
+    days) because their native difference is a DayTimeIntervalType /
+    INT interval that cannot be compared to the integer ``limit``
+    (round-5 ADVICE — the native-type change broke timestamp callers).
+    The bucketed path always casts: its carry timestamps are long."""
+    import pyspark.sql.types as T
+
+    dt = df.schema[order_col].dataType
+    if bucket_width is not None or isinstance(
+            dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.col(order_col).cast("long")
+    return F.col(order_col)
+
+
 def _check(
     df: DataFrame,
     order_col: str,
@@ -127,11 +146,12 @@ def locf(
     """Fill NULLs with the last preceding non-NULL per key; appends
     ``<v><out_suffix>`` per value column. ``limit``: carry at most that
     many order-units past the observation (NULL again beyond it) — the
-    distance is measured in the order column's OWN type on the flat path
-    (exact for doubles too); the bucketed path casts to long (its carry
-    timestamps are long), so it requires an integer order domain anyway
-    (``fdiv``). ``bucket_width``: time-sliced skew path (module
-    docstring)."""
+    distance is measured in the order column's OWN type for numeric
+    order columns (exact for doubles too) and in long epoch units for
+    timestamp/date ones (see :func:`_order_distance_col`); the bucketed
+    path casts to long (its carry timestamps are long), so it requires
+    an integer order domain anyway (``fdiv``). ``bucket_width``:
+    time-sliced skew path (module docstring)."""
     group_vars, value_cols = list(group_vars), list(value_cols)
     _check(df, order_col, value_cols, group_vars, out_suffix, bucket_width)
     orig_cols = df.columns
@@ -146,9 +166,8 @@ def locf(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # native-type order on the flat path: a long cast would silently
-    # truncate a double order column, changing limit semantics
-    ot = F.col(order_col) if bucket_width is None else F.col(order_col).cast("long")
+    # native-type order for numerics, long for timestamp/date (helper)
+    ot = _order_distance_col(df, order_col, bucket_width)
     cols: list[Column] = []
     for v in value_cols:
         filled = F.last(v, ignorenulls=True).over(w)
@@ -192,8 +211,8 @@ def nocb(
         .orderBy(F.desc(order_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # mirror of locf: native-type order distance on the flat path
-    ot = F.col(order_col) if bucket_width is None else F.col(order_col).cast("long")
+    # mirror of locf: numeric native / timestamp long (helper)
+    ot = _order_distance_col(df, order_col, bucket_width)
     cols: list[Column] = []
     for v in value_cols:
         filled = F.last(v, ignorenulls=True).over(w)

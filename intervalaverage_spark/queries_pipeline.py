@@ -159,7 +159,7 @@ lstat AS (
 ),
 {gfrag(2)},
 {gfrag(3)}
-SELECT d.doc_id, lstat.n_lines,
+SELECT d.doc_id, COALESCE(lstat.n_lines, 0) AS n_lines,
        floor(CASE WHEN lstat.n_lines > 0 THEN lstat.dl / lstat.n_lines
              ELSE 0.0 END * 1000000.0) / 1000000.0 AS dup_line_frac,
        floor(CASE WHEN lstat.lc2 > 0 THEN lstat.dlc / lstat.lc2
@@ -167,7 +167,7 @@ SELECT d.doc_id, lstat.n_lines,
        {gcols(2)},
        {gcols(3)}
 FROM documents d
-JOIN lstat USING (doc_id)
+LEFT JOIN lstat USING (doc_id)
 LEFT JOIN gs2 ON gs2.doc_id = d.doc_id
 LEFT JOIN gs3 ON gs3.doc_id = d.doc_id
 """
@@ -251,7 +251,11 @@ def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.5)
 
 
-def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
+                     pair_filter: str = "") -> str:
+    """``pair_filter``: extra predicate on the FINAL (id1, id2) pairs —
+    the incremental-dedup oracle restricts the full-corpus recompute to
+    pairs touching the delta (the incremental contract)."""
     r = num_hashes // bands
     mins = ",\n         ".join(
         f"min(md5('{j}:' || g)) AS mh_{j}" for j in range(num_hashes)
@@ -287,8 +291,43 @@ v AS (
   JOIN (SELECT doc_id, s, len(s) AS sz FROM sh) x ON x.doc_id = c.id1
   JOIN (SELECT doc_id, s, len(s) AS sz FROM sh) y ON y.doc_id = c.id2
 )
-SELECT id1, id2, ROUND(j, 6) AS jaccard FROM v WHERE ROUND(j, 6) >= {threshold}
+SELECT id1, id2, ROUND(j, 6) AS jaccard FROM v WHERE ROUND(j, 6) >= {threshold}{pair_filter}
 """
+
+
+#: the delta split for the incremental-dedup driver row: every 10th doc
+#: plays the "new crawl snapshot" arriving against the other 90 %
+_INC_DELTA_PRED = "doc_id % 10 = 0"
+
+
+def q_incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup — the crawl-snapshot ingest path, driver-
+    oracled end to end. The corpus is split 90/10: the 90 % plays the
+    EXISTING corpus whose band index was persisted at its own ingest
+    (written to parquet here, read back — the real round-trip), the 10 %
+    plays the newly arrived batch. Candidates are generated ONLY from the
+    delta's band keys probing the index (broadcast delta — the index side
+    never shuffles); verified pairs must equal the whole-corpus LSH
+    recompute restricted to delta-touching pairs, which is exactly what
+    the oracle computes (same banded minhash, ``pair_filter``)."""
+    from intervalaverage_spark.functions.dedup import (
+        incremental_minhash_lsh_pairs,
+        minhash_band_index,
+    )
+    from intervalaverage_spark.queries import _scratch_dir
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    delta = d.filter(F.expr(_INC_DELTA_PRED))
+    base = d.filter(~F.expr(_INC_DELTA_PRED))
+    idx_dir = _scratch_dir("inc_dedup_index")
+    minhash_band_index(base, "doc_id", "text", n=3, num_hashes=16,
+                       bands=4).write.mode("overwrite").parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+    pairs, _new_bands = incremental_minhash_lsh_pairs(
+        d, delta, index, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        threshold=0.5,
+    )
+    return pairs
 
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,7 +524,7 @@ def q_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters asserted in BENCH/PLANS.md §ivf-pruned and
     tests/test_layout.py). Same oracle as the in-memory IVF query, so the
     write → prune → rerank loop must be exact."""
-    import tempfile
+    from intervalaverage_spark.queries import _scratch_dir
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrow = e.orderBy("vec_id").first()
@@ -494,7 +533,9 @@ def q_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != qrow["vec_id"]), "vec_id", "embedding",
         n_cells=IVF_CELLS,
     )
-    tmp = tempfile.mkdtemp(prefix="ia_ivf_layout_")
+    # _scratch_dir (not bare mkdtemp): self-cleaning at interpreter exit,
+    # so repeated driver runs never accumulate ia_ivf_layout dirs (r5 ask)
+    tmp = _scratch_dir("ivf_layout")
     assigned.write.partitionBy("ivf_cell").mode("overwrite").parquet(tmp)
     probes = ann.ivf_probe_cells(qv, cents, IVF_NPROBE)
     pruned = spark.read.parquet(tmp).filter(F.col("ivf_cell").isin(probes))
@@ -820,6 +861,80 @@ FROM documents
 """
 
 
+def q_streaming_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming on the web-text axis: exact dedup of a document
+    stream via watermarked ``dropDuplicatesWithinWatermark`` on
+    ``md5(text)`` — the streaming twin of ``dedup_exact_documents``
+    (the timeseries rows prove stateful WINDOWED streaming; the text-stats
+    row proves stateless; this adds the stateful KEYED member).
+
+    Event time is synthetic-deterministic (epoch + doc_id seconds — a
+    replayable stand-in for crawl fetch time). State-store bound: one
+    entry per distinct key whose event time is newer than
+    ``watermark − delay``; keys older than that are EVICTED, so state is
+    O(distinct keys per dedup horizon), not O(stream). The 30-day delay
+    here makes the bounded availableNow replay exact end-to-end (every
+    duplicate pair in the fixture is closer than the horizon);
+    production tunes it to the dedup horizon it wants to pay state for.
+
+    Output is (text_md5, n_chars): both are functions of the TEXT, so
+    whichever duplicate arrives first yields the same row — deterministic
+    under any micro-batch order. Oracle: batch DISTINCT over the same
+    projection."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.md5("text").alias("text_md5"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("event_time"),
+        )
+        .withWatermark("event_time", "30 days")
+        .dropDuplicatesWithinWatermark(["text_md5"])
+        .select("text_md5", "n_chars")
+    )
+    name = "q_streaming_dedup_exact_documents"
+    q = (
+        src.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_dedup_exact: availableNow query did not finish "
+            "within 300s; refusing to compare a truncated sink"
+        )
+    q.stop()
+    return spark.table(name)
+
+
+STREAMING_DEDUP_EXACT_SQL = """
+SELECT DISTINCT md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_knn_join_self_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-kNN over ALL vectors (every vector queries the whole table,
+    ``exclude_self``) on the BROADCAST-CENTROID path (``method=
+    'broadcast'``): cell assignment and probe fan-out run as one numpy
+    GEMM per Arrow batch against a broadcast centroid matrix instead of
+    literal-centroid expressions — the n_cells ≈ √n shape a 10^8-vector
+    table needs. Same oracle family as knn_join_embeddings: the driver's
+    hash compare pins the broadcast path to the literal path's exact
+    semantics cross-engine (assignment ties, probe order, rerank)."""
+    from intervalaverage_spark.functions.ann import knn_join
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_join(e, e, "vec_id", "embedding", "vec_id", "embedding",
+                   k=3, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
+                   exclude_self=True, method="broadcast")
+    return out.select("q_id", "nn_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats_documents": q_text_stats_documents,
@@ -841,6 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split_documents": q_sample_split_documents,
         "cap_per_source_documents": q_cap_per_source_documents,
         "curation_pipeline_documents": q_curation_pipeline_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
+        "streaming_dedup_exact_documents": q_streaming_dedup_exact_documents,
+        "knn_join_self_embeddings": q_knn_join_self_embeddings,
     }
 
 
@@ -870,4 +988,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_split_documents": _sample_split_sql(),
         "cap_per_source_documents": _cap_per_source_sql(),
         "curation_pipeline_documents": _curation_pipeline_sql(),
+        # full-corpus recompute RESTRICTED to delta-touching pairs — the
+        # incremental contract (pairs found at the delta's ingest)
+        "incremental_dedup_documents": _minhash_lsh_sql(
+            pair_filter=" AND (id1 % 10 = 0 OR id2 % 10 = 0)"),
+        "streaming_dedup_exact_documents": STREAMING_DEDUP_EXACT_SQL,
+        # same oracle family as knn_join_embeddings (self-mode, k=3) —
+        # the broadcast-centroid path must answer identically
+        "knn_join_self_embeddings": _knn_join_sql(qpred="TRUE", k=3),
     }
