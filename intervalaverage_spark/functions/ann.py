@@ -24,8 +24,17 @@ data, not of a seed.
 
 from __future__ import annotations
 
+# numpy/pandas MUST be imported at module scope: under
+# ``from __future__ import annotations`` the pandas_udf type hints below are
+# the *strings* ``'pd.Series'``, and pyspark's ``infer_eval_type`` resolves
+# them against this module's globals — a function-local ``import pandas``
+# leaves the hint unresolvable and the decorator raises UNSUPPORTED_SIGNATURE
+# at definition time (the round-6 regression).
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 #: mix constants (Knuth multiplicative hashing; public domain folklore)
 _A = 2654435761
@@ -132,6 +141,44 @@ def _centroid_matrix(cents: list[tuple[int, list[float]]]):
     return cids, mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
 
 
+def _round_half_up(x, decimals: int = 6):
+    """HALF_UP rounding (away from zero on ties) — matches Spark's
+    ``F.round`` semantics; ``np.round`` is round-half-to-even, which can
+    differ at 6-dp tie boundaries. Residual caveat (documented, not
+    fixable): the GEMM sums products in a different order than the
+    expression fold, so an unrounded cosine can land on the *other side*
+    of a tie boundary than the fold's — equality with the literal path is
+    therefore fixture-verified, not bit-guaranteed for all inputs."""
+    scale = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _clean_vectors(vs: pd.Series, dim: int):
+    """(mask, normalized matrix) for an Arrow batch of embedding vectors.
+
+    Rows that are NULL, ragged, contain NULL elements, or have zero norm
+    are masked out (the caller emits NULL for them) — mirroring the
+    literal expression path, which degrades to NULL/NaN per row instead
+    of failing the job (ADVICE r6)."""
+    ok = np.zeros(len(vs), dtype=bool)
+    rows = []
+    for i, v in enumerate(vs):
+        if v is None:
+            continue
+        lst = list(v)
+        if len(lst) != dim or any(x is None for x in lst):
+            continue
+        ok[i] = True
+        rows.append(lst)
+    if not rows:
+        return ok, np.zeros((0, dim), dtype=np.float64)
+    m = np.array(rows, dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    good = (norms[:, 0] > 0.0) & np.isfinite(norms[:, 0])
+    ok[np.flatnonzero(ok)[~good]] = False
+    return ok, m[good] / norms[good]
+
+
 def assign_cells_broadcast(
     df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]],
     out_col: str = "ivf_cell",
@@ -152,24 +199,27 @@ def assign_cells_broadcast(
     single cosine and lost 1.6-1.9×. Measured crossover:
     BENCH/NOTES.md "IVF assignment: literal vs broadcast".)
 
-    Tie-break and rounding mirror the literal path exactly (cosine
-    rounded to 6 dp, ties → lowest centroid id), equality-pinned by
-    tests/test_pipeline_ops.py on the fixture embeddings."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
+    Tie-break and rounding mirror the literal path (cosine HALF_UP-rounded
+    to 6 dp via :func:`_round_half_up`, ties → lowest centroid id);
+    equality with the literal path is pinned on the fixture embeddings by
+    tests/test_round6.py (see the float-summation-order caveat on
+    :func:`_round_half_up`). NULL / ragged / zero-norm vectors get a NULL
+    cell instead of crashing the batch, matching the literal path's
+    degrade-to-NULL behavior."""
     bc = df.sparkSession.sparkContext.broadcast(_centroid_matrix(cents))
+    dim = len(cents[0][1])
 
     @pandas_udf("long")
     def _cell(vs: pd.Series) -> pd.Series:
         cids, cmat = bc.value
+        out = pd.array([None] * len(vs), dtype="Int64")
         if len(vs) == 0:
-            return pd.Series([], dtype="int64")
-        v = np.array(vs.tolist(), dtype=np.float64)
-        vn = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
-        scores = np.round(vn @ cmat.T, 6)
-        return pd.Series(cids[scores.argmax(axis=1)])
+            return pd.Series(out)
+        ok, vn = _clean_vectors(vs, dim)
+        if vn.shape[0]:
+            scores = _round_half_up(vn @ cmat.T)
+            out[np.flatnonzero(ok)] = cids[scores.argmax(axis=1)]
+        return pd.Series(out)
 
     return df.withColumn(out_col, _cell(F.col(vec_col)))
 
@@ -182,25 +232,26 @@ def probe_cells_broadcast(
     (cosine desc, cid-asc ties) via the broadcast centroid matrix — the
     query-side twin of :func:`assign_cells_broadcast` for
     :func:`knn_join`'s probe fan-out at large n_cells. ``df`` supplies
-    the SparkContext the centroid matrix is broadcast through."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
+    the SparkContext the centroid matrix is broadcast through. NULL /
+    ragged / zero-norm query vectors probe nothing (NULL array)."""
     bc = df.sparkSession.sparkContext.broadcast(_centroid_matrix(cents))
+    dim = len(cents[0][1])
 
     @pandas_udf("array<long>")
     def _probes(vs: pd.Series) -> pd.Series:
         cids, cmat = bc.value
+        out = [None] * len(vs)
         if len(vs) == 0:
-            return pd.Series([], dtype="object")
-        v = np.array(vs.tolist(), dtype=np.float64)
-        vn = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
-        scores = np.round(vn @ cmat.T, 6)
-        # stable argsort on -scores: descending cosine, cid-asc ties
-        # (columns are already cid-ascending)
-        idx = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([cids[row].tolist() for row in idx])
+            return pd.Series(out, dtype="object")
+        ok, vn = _clean_vectors(vs, dim)
+        if vn.shape[0]:
+            scores = _round_half_up(vn @ cmat.T)
+            # stable argsort on -scores: descending cosine, cid-asc ties
+            # (columns are already cid-ascending)
+            idx = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            for j, i in enumerate(np.flatnonzero(ok)):
+                out[i] = cids[idx[j]].tolist()
+        return pd.Series(out, dtype="object")
 
     return _probes(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
@@ -332,8 +383,9 @@ def knn_join(
     (That verdict is about the RERANK. Cell ASSIGNMENT at large n_cells
     is the opposite regime — ``method="broadcast"`` routes it through
     :func:`assign_cells_broadcast` / :func:`probe_cells_broadcast`,
-    where one GEMM replaces n_cells folds per row; identical output,
-    equality-pinned.)"""
+    where one GEMM replaces n_cells folds per row; output equality with
+    the literal path is fixture-verified — see the summation-order
+    caveat on :func:`_round_half_up`.)"""
     if nprobe < 1 or nprobe > n_cells:
         raise ValueError(f"need 1 <= nprobe <= n_cells, got {nprobe}")
     assigned, cents = ivf_cells(index, id_col, vec_col, n_cells, method=method)

@@ -45,16 +45,21 @@ def _order_distance_col(df: DataFrame, order_col: str,
     """Order expression used for ``limit`` distance arithmetic. Numeric
     order columns keep their NATIVE type on the flat path (a long cast
     would silently truncate a double order column, changing limit
-    semantics); timestamp/date columns are cast to long (epoch seconds /
-    days) because their native difference is a DayTimeIntervalType /
-    INT interval that cannot be compared to the integer ``limit``
-    (round-5 ADVICE — the native-type change broke timestamp callers).
-    The bucketed path always casts: its carry timestamps are long."""
+    semantics); timestamp columns are cast to long (epoch seconds)
+    because their native difference is a DayTimeIntervalType that cannot
+    be compared to the integer ``limit`` (round-5 ADVICE — the
+    native-type change broke timestamp callers). Date columns go through
+    ``unix_date`` (epoch DAYS): Spark 3+/4 forbids a date→numeric cast
+    outright (DATATYPE_MISMATCH, round-6 ADVICE), and the day unit is
+    what a daily-grid ``limit`` means. The bucketed path always
+    long-izes the order: its carry timestamps are long."""
     import pyspark.sql.types as T
 
     dt = df.schema[order_col].dataType
+    if isinstance(dt, T.DateType):
+        return F.unix_date(F.col(order_col))
     if bucket_width is not None or isinstance(
-            dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            dt, (T.TimestampType, T.TimestampNTZType)):
         return F.col(order_col).cast("long")
     return F.col(order_col)
 
@@ -92,7 +97,14 @@ def _with_carry(
     (strictly LATER bucket). One groupBy to a 1-row-per-(key, bucket)
     table, one window over buckets on it, one equi join back — every
     stage keyed by (key, bucket), so the hot key stays spread."""
-    t = F.col(order_col).cast("long")
+    import pyspark.sql.types as T
+
+    # DateType cannot cast to numeric on Spark 3+/4 — epoch days instead,
+    # matching _order_distance_col so carry t and src_t share a domain.
+    if isinstance(df.schema[order_col].dataType, T.DateType):
+        t = F.unix_date(F.col(order_col))
+    else:
+        t = F.col(order_col).cast("long")
     reserved = ["__fbk"] + [f"__cb_{v}" for v in value_cols] + [f"__cf_{v}" for v in value_cols]
     clash = [c for c in reserved if c in df.columns]
     if clash:

@@ -872,16 +872,25 @@ def q_streaming_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataF
     replayable stand-in for crawl fetch time). State-store bound: one
     entry per distinct key whose event time is newer than
     ``watermark − delay``; keys older than that are EVICTED, so state is
-    O(distinct keys per dedup horizon), not O(stream). The 30-day delay
-    here makes the bounded availableNow replay exact end-to-end (every
-    duplicate pair in the fixture is closer than the horizon);
-    production tunes it to the dedup horizon it wants to pay state for.
+    O(distinct keys per dedup horizon), not O(stream). The delay is
+    DERIVED from the fixture's doc_id span (span + 1 day), so the bounded
+    availableNow replay stays exact — equal to batch DISTINCT — at EVERY
+    scale factor (a fixed 30-day horizon would silently re-emit
+    duplicates once doc_id spans past it; round-6 ADVICE). Production
+    replaces this derivation with the dedup horizon it wants to pay
+    state for — the point of the watermark is precisely that exactness
+    is scoped to a horizon.
 
     Output is (text_md5, n_chars): both are functions of the TEXT, so
     whichever duplicate arrives first yields the same row — deterministic
     under any micro-batch order. Oracle: batch DISTINCT over the same
     projection."""
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    schema = batch.schema
+    # bounded setup read: two scalars (min/max doc_id), never collected rows
+    span_row = batch.agg(
+        (F.max("doc_id") - F.min("doc_id")).alias("span")).first()
+    delay_s = int(span_row["span"] or 0) + 86400
     src = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -891,7 +900,7 @@ def q_streaming_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataF
             F.length("text").cast("long").alias("n_chars"),
             F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("event_time"),
         )
-        .withWatermark("event_time", "30 days")
+        .withWatermark("event_time", f"{delay_s} seconds")
         .dropDuplicatesWithinWatermark(["text_md5"])
         .select("text_md5", "n_chars")
     )
