@@ -638,6 +638,52 @@ def main() -> None:
             "bit-for-bit (pytest + driver row knn_join_self_embeddings)."
         ),
     )
+    # 27. decontamination — the contaminant gram set is broadcast; the
+    # corpus side never shuffles before the per-doc aggregate
+    from intervalaverage_spark.functions.decontam import decontaminate
+
+    add(
+        "decontaminate (broadcast contaminant grams, corpus never shuffles)",
+        decontaminate(docs25.filter(F.col("doc_id") % 7 != 0),
+                      docs25.filter(F.col("doc_id") % 7 == 0), n=8),
+        must=["BroadcastHashJoin", "ReadSchema"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "FlatMapGroupsInPandas",
+                  "ArrowEvalPython", "SortMergeJoin"],
+        note=(
+            "Benchmark decontamination at 100 TB: the benchmark n-gram set "
+            "(small by definition) is `F.broadcast` — the corpus-side "
+            "explode meets it in a map-side `BroadcastHashJoin`, the only "
+            "shuffle is the per-doc hit count (keyed by doc id, perfectly "
+            "spread), and the join back onto the corpus broadcasts the "
+            "bounded hit table. No SortMergeJoin anywhere: nothing "
+            "re-partitions the 100 TB side by gram."
+        ),
+    )
+
+    # 28. token-mix sampling — after the bounded per-stratum stats read,
+    # the applied plan is a stateless scan-level filter: no join, no
+    # exchange, nothing that scales beyond the scan
+    from intervalaverage_spark.functions.sampling import token_mix_sample
+
+    add(
+        "token_mix_sample (stateless scan-level filter after bounded stats)",
+        token_mix_sample(docs25, "lang",
+                         {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15,
+                          "fr": 0.15}, "n_chars", ["doc_id"], seed="plans"),
+        must=["Filter", "ReadSchema"],
+        must_not=["Join", "Exchange", "Window", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Data mixing: per-stratum totals are ONE bounded groupBy "
+            "resolved at build time (like IVF centroids); the applied "
+            "sampling plan is a literal when-chain rate + md5 filter "
+            "pushed into the scan — zero shuffles, zero joins, identical "
+            "under any partitioning. The `no Exchange` assertion is the "
+            "100 TB story."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)

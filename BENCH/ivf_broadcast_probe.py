@@ -79,7 +79,7 @@ def main() -> None:
         # --- crossover timings (warm = 2nd run, same policy as bench.py)
         print("\n| n_cells | literal warm s | broadcast warm s |")
         print("|---|---|---|")
-        for nc in (16, 64, 256, 1024):
+        for nc in (16, 64, 256, sqrt_cells, 1024):
             times = {}
             for method in ("literal", "broadcast"):
                 if method == "literal" and nc > 256:

@@ -120,6 +120,84 @@ def assign_splits(
     return df.select("*", expr.alias(out_col))
 
 
+def token_mix_sample(
+    df: DataFrame,
+    stratum_col: str,
+    targets: Mapping[str, float],
+    weight_col: str,
+    key_cols: Sequence[str],
+    seed: str = "",
+    rate_out: str = "mix_rate",
+) -> DataFrame:
+    """Sample the corpus down to a TARGET TOKEN MIX across strata — the
+    data-mixing step of an LLM pipeline ("50 % en, 30 % code, 20 %
+    other" by token count, not by document count).
+
+    Given ``targets`` (stratum value → share of the OUTPUT's total
+    weight; positive, sum to 1), the largest achievable output budget is
+    ``T = min_s actual_s / share_s`` (the binding stratum is taken
+    whole; every other stratum is downsampled to match). Each stratum
+    then keeps rows with :func:`md5_uniform` < ``rate_s`` where
+    ``rate_s = trunc6(share_s · T / actual_s)`` — so the expected output
+    weight per stratum is ``share_s · T`` and the mix converges to the
+    target by the law of large numbers over documents. Rows whose
+    stratum is not in ``targets`` are dropped.
+
+    Determinism & cross-engine: ``actual_s`` is an exact long sum; every
+    derived quantity is IEEE double arithmetic in a FIXED parenthesized
+    order (``(share·T)/actual``, truncated — not rounded — to 6 dp, so
+    no rounding-mode divergence), and the keep decision is the same pure
+    md5 arithmetic as :func:`deterministic_sample`. The DuckDB oracle
+    replays the whole derivation from the same table (see
+    queries_pipeline.py).
+
+    Scale: one groupBy over the stratum column (bounded output — one row
+    per stratum, collected driver-side like IVF centroids), then a
+    stateless row-local filter — no join, no second shuffle; the rate
+    map rides into the scan as a literal when-chain. Appends ``rate_out``
+    (the applied per-stratum rate) for auditability."""
+    if not key_cols:
+        raise IntervalSchemaError("key_cols must name at least one column")
+    if not targets or any(w <= 0 for w in targets.values()):
+        raise IntervalSchemaError("targets must be a non-empty map of positives")
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-9:
+        raise IntervalSchemaError(f"target shares must sum to 1, got {total}")
+    for c in (stratum_col, weight_col, *key_cols):
+        if c not in df.columns:
+            raise IntervalSchemaError(f"missing column {c!r}")
+    if rate_out in df.columns:
+        raise IntervalSchemaError(f"output column {rate_out!r} already exists")
+    # one bounded row per stratum — driver-side metadata, not a data read
+    actual = {
+        r["__s"]: int(r["__w"])
+        for r in df.groupBy(F.col(stratum_col).cast("string").alias("__s"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+        .collect()
+        if r["__s"] in targets
+    }
+    missing = [s for s in targets if actual.get(s, 0) <= 0]
+    if missing:
+        raise IntervalSchemaError(
+            f"target strata with no weight in the data: {missing}")
+    budget = min(actual[s] / targets[s] for s in targets)
+    rates = {
+        # trunc6 of (share·T)/actual — fixed order, replayed in the oracle
+        s: int((targets[s] * budget) / actual[s] * 1_000_000) / 1_000_000
+        for s in targets
+    }
+    rate = None
+    for s, r in rates.items():
+        case = (F.col(stratum_col).cast("string") == s, F.lit(r))
+        rate = F.when(*case) if rate is None else rate.when(*case)
+    rate = rate.otherwise(F.lit(None).cast("double"))
+    u = md5_uniform(key_cols, seed)
+    return (
+        df.select("*", rate.alias(rate_out))
+        .filter(F.col(rate_out).isNotNull() & (u < F.col(rate_out)))
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -1782,18 +1782,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     p = qp.queries()
     out = {
-        # ---- never driver-checked before round 6 (r5 flagships) ----
-        "ann_ivf_pruned_topk_embeddings": p["ann_ivf_pruned_topk_embeddings"],
-        "knn_join_embeddings": p["knn_join_embeddings"],
-        "semantic_dedup_embeddings": p["semantic_dedup_embeddings"],
-        "multimodal_decode_documents": p["multimodal_decode_documents"],
-        "sample_split_documents": p["sample_split_documents"],
-        "cap_per_source_documents": p["cap_per_source_documents"],
-        "curation_pipeline_documents": p["curation_pipeline_documents"],
-        # ---- new in round 6 ----
-        "incremental_dedup_documents": p["incremental_dedup_documents"],
-        "streaming_dedup_exact_documents": p["streaming_dedup_exact_documents"],
+        # ---- never driver-green: errored in r6 (fixed r7) — must lead ----
         "knn_join_self_embeddings": p["knn_join_self_embeddings"],
+        # ---- new in round 7 ----
+        "decontaminate_documents": p["decontaminate_documents"],
+        "token_mix_documents": p["token_mix_documents"],
+        # ---- r7 rotation: the 10 rows whose last driver-green is r5 or
+        # older (the r6 verdict's ask #5) come back into the window ----
+        "interval_average_orders_dates": q_interval_average_orders_dates,
+        "interval_intersect_orders_dates": q_interval_intersect_orders_dates,
+        "gorilla_roundtrip_events": q_gorilla_roundtrip_events,
+        "streaming_hourly_events": q_streaming_hourly_events,
+        "isolate_overlaps_orders": q_isolate_overlaps_orders,
+        "overlap_flags_orders": q_overlap_flags_orders,
+        "cj_region_nation": q_cj_region_nation,
+        "lang_stats_documents": q_lang_stats_documents,
+        "checkpoint_resume_metrics": q_checkpoint_resume_metrics,
+        "retention_plan_events": q_retention_plan_events,
         # ---- previously driver-green, still inside the window ----
         "interval_average_events_daily": q_interval_average_events_daily,
         "interval_average_events_daily_2v": q_interval_average_events_daily_2v,
@@ -1831,22 +1836,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": p["dedup_clusters_documents"],
         "shard_assign_documents": p["shard_assign_documents"],
         "simhash_documents": p["simhash_documents"],
+        # ---- tail (entries 51+): driver-green in round 6 (one round
+        # fresh — the youngest green rows, so the cheapest to park) ----
         "embedding_neardup": p["embedding_neardup"],
         "embedding_neardup_blocked": p["embedding_neardup_blocked"],
         "ann_srp_topk_embeddings": p["ann_srp_topk_embeddings"],
         "ann_ivf_topk_embeddings": p["ann_ivf_topk_embeddings"],
-        # ---- tail (entries 51+): multi-round-stable (driver-green every
-        # round since r2-r4) and rows-only entries ----
-        "interval_average_orders_dates": q_interval_average_orders_dates,
-        "interval_intersect_orders_dates": q_interval_intersect_orders_dates,
-        "gorilla_roundtrip_events": q_gorilla_roundtrip_events,
-        "streaming_hourly_events": q_streaming_hourly_events,
-        "isolate_overlaps_orders": q_isolate_overlaps_orders,
-        "overlap_flags_orders": q_overlap_flags_orders,
-        "cj_region_nation": q_cj_region_nation,
-        "lang_stats_documents": q_lang_stats_documents,
-        "checkpoint_resume_metrics": q_checkpoint_resume_metrics,
-        "retention_plan_events": q_retention_plan_events,
+        "ann_ivf_pruned_topk_embeddings": p["ann_ivf_pruned_topk_embeddings"],
+        "knn_join_embeddings": p["knn_join_embeddings"],
+        "semantic_dedup_embeddings": p["semantic_dedup_embeddings"],
+        "multimodal_decode_documents": p["multimodal_decode_documents"],
+        "sample_split_documents": p["sample_split_documents"],
+        "cap_per_source_documents": p["cap_per_source_documents"],
+        "curation_pipeline_documents": p["curation_pipeline_documents"],
+        "incremental_dedup_documents": p["incremental_dedup_documents"],
+        "streaming_dedup_exact_documents": p["streaming_dedup_exact_documents"],
     }
     dropped = set(p) - set(out)
     assert not dropped, f"queries() reorder dropped pipeline entries: {dropped}"

@@ -944,8 +944,107 @@ def q_knn_join_self_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round 7, E42): docs with
+    ``doc_id % 7 == 0`` play the benchmark set (1/7 of the corpus — a
+    modulus chosen so planted near-dup families straddle the split and
+    the driver row exercises REAL hits, 9 contaminated docs at sf0.01); every OTHER doc gets
+    per-doc contamination stats — how many of its distinct lowercased
+    word 8-grams appear anywhere in the benchmark set. The corpus side
+    meets the broadcast gram set in a map-side join and aggregates by
+    doc id (functions/decontam.py — the corpus never shuffles). n=8
+    (not the classic 13) because synthetic fixture docs are short; the
+    operator is n-parameterized."""
+    from intervalaverage_spark.functions.decontam import decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    out = decontaminate(corpus, bench, n=8)
+    return out.select(
+        "doc_id", "n_contam_grams",
+        F.col("is_contaminated").cast("long").alias("is_contaminated"),
+    )
+
+
+DECONTAM_SQL = r"""
+WITH toksl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 8
+              THEN list_distinct([array_to_string(tk[i:i+7], ' ')
+                                  for i in range(1, len(tk) - 6)])
+              ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM toksl
+),
+cg AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 7 = 0
+),
+hits AS (
+  SELECT t.doc_id, count(*) AS h
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 7 <> 0) t
+  JOIN cg USING (gram)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS n_contam_grams,
+       CAST(coalesce(h.h, 0) > 0 AS BIGINT) AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 7 <> 0
+"""
+
+#: the token-mix targets of the driver row (fixture langs: en/zh/es/de/fr)
+_MIX_TARGETS = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+
+
+def q_token_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (round 7, E43): sample the corpus down to a target
+    per-language share of total WEIGHT (n_chars here; tokens in
+    production) — the "50 % en / 15 % each other" step of a training
+    mix. The binding stratum is kept whole, every other stratum is
+    deterministically downsampled to match (functions/sampling.py
+    token_mix_sample); the DuckDB oracle replays the whole derivation —
+    per-stratum totals, the binding budget, the truncated rates, and the
+    md5 keep decisions — from the same table."""
+    from intervalaverage_spark.functions.sampling import token_mix_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_mix_sample(d, "lang", _MIX_TARGETS, "n_chars",
+                           ["doc_id"], seed="mix7")
+    return out.select("doc_id", "lang",
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      "mix_rate")
+
+
+def _token_mix_sql() -> str:
+    shares = ", ".join(f"('{s}', {w})" for s, w in _MIX_TARGETS.items())
+    return f"""
+WITH s(lang, share) AS (VALUES {shares}),
+w AS (
+  SELECT lang, SUM(CAST(n_chars AS BIGINT)) AS aw
+  FROM documents JOIN s USING (lang) GROUP BY lang
+),
+t AS (SELECT min(aw / share) AS budget FROM w JOIN s USING (lang)),
+r AS (
+  SELECT w.lang,
+         floor(((s.share * t.budget) / w.aw) * 1000000.0) / 1000000.0 AS rate
+  FROM w JOIN s USING (lang), t
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       r.rate AS mix_rate
+FROM documents d JOIN r USING (lang)
+WHERE {_u_sql("doc_id", "mix7")} < r.rate
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "decontaminate_documents": q_decontaminate_documents,
+        "token_mix_documents": q_token_mix_documents,
         "text_stats_documents": q_text_stats_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
         "streaming_text_stats_documents": q_streaming_text_stats_documents,
@@ -973,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "decontaminate_documents": DECONTAM_SQL,
+        "token_mix_documents": _token_mix_sql(),
         "text_stats_documents": _text_stats_sql(),
         "repetition_stats_documents": _repetition_sql(),
         # identical oracle to the batch text stats: a stateless streaming
