@@ -684,6 +684,34 @@ def main() -> None:
         ),
     )
 
+    # 29. cross-snapshot churn: lag window + per-key agg share ONE exchange
+    from intervalaverage_spark.functions.churn import churn_stats
+
+    ev_churn = spark.read.parquet(f"{sf}/events.parquet")
+    add(
+        "crawl churn stats (single key-hash exchange end to end)",
+        churn_stats(ev_churn, "user_id", "ts", "props"),
+        must=["Exchange hashpartitioning", "Window", "HashAggregate"],
+        must_not=["Join", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Change detection + per-key churn aggregate: the lag window "
+            "shuffles on the key ONCE and the groupBy(key) reuses that "
+            "partitioning — EnsureRequirements inserts no second "
+            "exchange (asserted as exactly one `Exchange "
+            "hashpartitioning` occurrence below). The payload column is "
+            "pruned to an md5 fingerprint before the shuffle: 16 bytes "
+            "per row cross the wire, not the page."
+        ),
+    )
+    churn_plan = plan_of(churn_stats(ev_churn, "user_id", "ts", "props"))
+    n_ex = churn_plan.count("Exchange hashpartitioning")
+    sections.append(
+        f"## churn exchange count — {'OK' if n_ex == 1 else 'VIOLATION'}\n\n"
+        f"`Exchange hashpartitioning` occurrences in the churn_stats plan: "
+        f"**{n_ex}** (must be exactly 1 — window and aggregate share it).\n"
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)

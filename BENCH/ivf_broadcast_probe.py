@@ -76,6 +76,45 @@ def main() -> None:
         print(f"broadcast-vs-literal disagreements at n_cells=64: {diff}")
         assert diff == 0, "broadcast assignment diverged from literal"
 
+        # --- recall at the sqrt(n) regime (broadcast assignment): sampled
+        # queries, IVF(nprobe) top-10 vs brute-force top-10. This is the
+        # accuracy side of the crossover story — the n_cells≈√n table is
+        # only worth its assignment cost if a small nprobe keeps recall
+        # usable on this (deterministic, untrained-centroid) quantizer.
+        from intervalaverage_spark.functions.ann import brute_topk, ivf_probe_cells
+
+        assigned_b, cents_b = ivf_cells(vecs, "vec_id", "embedding",
+                                        n_cells=sqrt_cells, method="broadcast")
+        assigned_b = assigned_b.persist()
+        assigned_b.count()
+        vecs_c = vecs.persist()
+        step = max(n_vecs // 20, 1)
+        qrows = vecs_c.filter(F.col("vec_id") % step == 0).collect()
+        truths = {}
+        for r in qrows:
+            qv = [float(x) for x in r["embedding"]]
+            truths[r["vec_id"]] = {
+                x["vec_id"]
+                for x in brute_topk(vecs_c, qv, "vec_id", "embedding", 10).collect()
+            }
+        print(f"\nrecall@10, n_cells={sqrt_cells}, {len(qrows)} sampled queries:")
+        for nprobe in (1, 4, 16):
+            hits = tot = 0
+            for r in qrows:
+                qv = [float(x) for x in r["embedding"]]
+                probes = ivf_probe_cells(qv, cents_b, nprobe)
+                got = {
+                    x["vec_id"]
+                    for x in brute_topk(
+                        assigned_b.filter(F.col("ivf_cell").isin(probes)),
+                        qv, "vec_id", "embedding", 10).collect()
+                }
+                hits += len(truths[r["vec_id"]] & got)
+                tot += len(truths[r["vec_id"]])
+            print(f"  nprobe={nprobe}: recall@10 = {hits / tot:.4f}", flush=True)
+        assigned_b.unpersist()
+        vecs_c.unpersist()  # crossover must time the parquet-scan plan
+
         # --- crossover timings (warm = 2nd run, same policy as bench.py)
         print("\n| n_cells | literal warm s | broadcast warm s |")
         print("|---|---|---|")

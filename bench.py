@@ -169,6 +169,11 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         # min/max on its new two-block skew path
         "asof_lineitem_daily",
         "rolling_1h_minmax",
+        # round-7: cross-snapshot churn (E44/E45 — single key-hash
+        # exchange over 100k events) and exact-substring duplication
+        # (E46 — gram agg + join + interval-union over 5k docs)
+        "snapshot_intervals_events",
+        "duplicated_spans_documents",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1787,6 +1787,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 7 ----
         "decontaminate_documents": p["decontaminate_documents"],
         "token_mix_documents": p["token_mix_documents"],
+        "snapshot_delta_events": p["snapshot_delta_events"],
+        "crawl_churn_events": p["crawl_churn_events"],
+        "snapshot_intervals_events": p["snapshot_intervals_events"],
+        "duplicated_spans_documents": p["duplicated_spans_documents"],
+        "streaming_snapshot_delta_events": p["streaming_snapshot_delta_events"],
         # ---- r7 rotation: the 10 rows whose last driver-green is r5 or
         # older (the r6 verdict's ask #5) come back into the window ----
         "interval_average_orders_dates": q_interval_average_orders_dates,

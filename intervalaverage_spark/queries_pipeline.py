@@ -1041,6 +1041,243 @@ WHERE {_u_sql("doc_id", "mix7")} < r.rate
 """
 
 
+def q_snapshot_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta storage (round 7, E44): keep one row per run of identical
+    consecutive snapshots of a key — the ingest-side filter that drops
+    unchanged re-crawls before they reach a tier (functions/churn.py
+    snapshot_changes; events stand in for (url, warc_ts, html): key =
+    user_id, payload = props). One shuffle on the key; the payload is
+    pruned to an md5 fingerprint before it."""
+    from intervalaverage_spark.functions.churn import snapshot_changes
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ch = snapshot_changes(ev, "user_id", "ts", "props")
+    return ch.filter(F.col("is_changed")).select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_sec"),
+        "fingerprint",
+    )
+
+
+SNAPSHOT_DELTA_SQL = """
+WITH f AS (
+  SELECT user_id, ts, md5(CAST(props AS VARCHAR)) AS fingerprint FROM events
+),
+ch AS (
+  SELECT user_id, ts, fingerprint,
+         lag(fingerprint) OVER (PARTITION BY user_id
+                                ORDER BY ts, fingerprint) AS prev_fp
+  FROM f
+)
+SELECT user_id,
+       epoch_us(ts) // 1000000 AS ts_sec,
+       fingerprint
+FROM ch
+WHERE prev_fp IS NULL OR prev_fp <> fingerprint
+"""
+
+
+def q_crawl_churn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl churn stats (round 7, E44): per-key change rate and mean
+    revisit gap across snapshots (functions/churn.py churn_stats) — the
+    crawl-scheduling signal. Shares the key-hash exchange with the
+    change-detection window: one shuffle end to end (BENCH/PLANS.md
+    §29)."""
+    from intervalaverage_spark.functions.churn import churn_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return churn_stats(ev, "user_id", "ts", "props", min_snapshots=2)
+
+
+CRAWL_CHURN_SQL = """
+WITH f AS (
+  SELECT user_id, ts, md5(CAST(props AS VARCHAR)) AS fingerprint FROM events
+),
+ch AS (
+  SELECT user_id, fingerprint,
+         lag(fingerprint) OVER w AS prev_fp,
+         (epoch_us(ts) // 1000000)
+           - (epoch_us(lag(ts) OVER w) // 1000000) AS revisit_secs
+  FROM f
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, fingerprint)
+)
+SELECT user_id,
+       count(*) AS n_snapshots,
+       CAST(sum(CASE WHEN prev_fp IS NOT NULL AND prev_fp <> fingerprint
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+       round(CAST(sum(CASE WHEN prev_fp IS NOT NULL AND prev_fp <> fingerprint
+                           THEN 1 ELSE 0 END) AS DOUBLE) / (count(*) - 1), 6)
+         AS change_rate,
+       round(avg(revisit_secs), 6) AS avg_revisit_secs
+FROM ch
+GROUP BY user_id
+HAVING count(*) >= 2
+"""
+
+
+def q_snapshot_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals (round 7, E45): collapse runs of
+    identical consecutive snapshots into (key, valid_from, valid_to)
+    interval rows — manufacturing exactly the interval table the
+    reference's operators (and this engine's interval_average /
+    interval_intersect) consume, directly from raw crawl snapshots
+    (functions/churn.py snapshot_intervals). Whole chain = one key-hash
+    exchange."""
+    from intervalaverage_spark.functions.churn import snapshot_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = snapshot_intervals(ev, "user_id", "ts", "props")
+    return iv.select(
+        "user_id",
+        "fingerprint",
+        F.unix_timestamp("valid_from").cast("long").alias("valid_from_sec"),
+        F.unix_timestamp("valid_to").cast("long").alias("valid_to_sec"),
+        F.unix_timestamp("last_seen").cast("long").alias("last_seen_sec"),
+        "n_snapshots",
+    )
+
+
+SNAPSHOT_INTERVALS_SQL = """
+WITH f AS (
+  SELECT user_id, ts, md5(CAST(props AS VARCHAR)) AS fingerprint FROM events
+),
+ch AS (
+  SELECT user_id, ts, fingerprint,
+         CASE WHEN lag(fingerprint) OVER w IS NULL
+                OR lag(fingerprint) OVER w <> fingerprint
+              THEN 1 ELSE 0 END AS is_changed
+  FROM f
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, fingerprint)
+),
+runs AS (
+  SELECT *, sum(is_changed) OVER (PARTITION BY user_id
+                                  ORDER BY ts, fingerprint
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ch
+),
+iv AS (
+  SELECT user_id, run_id,
+         min(fingerprint) AS fingerprint,
+         min(ts) AS valid_from,
+         max(ts) AS last_seen,
+         count(*) AS n_snapshots
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, fingerprint,
+       epoch_us(valid_from) // 1000000 AS valid_from_sec,
+       epoch_us(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id))
+         // 1000000 AS valid_to_sec,
+       epoch_us(last_seen) // 1000000 AS last_seen_sec,
+       n_snapshots
+FROM iv
+"""
+
+
+def q_streaming_snapshot_delta_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming delta storage (round 7, E47): the engine's first
+    ``applyInPandasWithState`` operator — keyed last-fingerprint state
+    (one 32-char string per key) drops unchanged re-crawls at ingest
+    (streaming/churn_stream.py). Bounded availableNow replay over the
+    events fixture must equal the BATCH delta operator row-for-row —
+    same oracle as snapshot_delta_events."""
+    from intervalaverage_spark.streaming.churn_stream import (
+        streaming_snapshot_deltas,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deltas = streaming_snapshot_deltas(src, "user_id", "ts", "props")
+    name = "q_streaming_snapshot_delta_events"
+    q = (
+        deltas.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_snapshot_delta: availableNow query did not finish "
+            "within 300s; refusing to compare a truncated sink"
+        )
+    q.stop()
+    return spark.table(name).select(
+        F.col("key").alias("user_id"),
+        F.unix_timestamp("ts").cast("long").alias("ts_sec"),
+        "fingerprint",
+    )
+
+
+def q_duplicated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication (round 7, E46): per-doc fraction of
+    token positions covered by word 8-grams that occur in ≥2 distinct
+    docs — the Lee et al. 2022 ExactSubstr filter signal, with the span
+    union computed by the engine's own interval_coalesce over token-
+    position intervals (functions/substr.py). 47 docs carry real
+    duplicated spans at sf0.01 (the planted near-dup families)."""
+    from intervalaverage_spark.functions.substr import duplicated_span_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_span_stats(d, "doc_id", "text", n=8, min_docs=2)
+
+
+DUP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+pg AS (
+  SELECT doc_id, u.pos AS pos, md5(u.gram) AS gkey FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tk) >= 8
+                  THEN [struct_pack(pos := i,
+                                    gram := array_to_string(tk[i:i+7], ' '))
+                        for i in range(1, len(tk) - 6)]
+                  ELSE [] END) AS u
+    FROM toks)
+),
+dup AS (SELECT gkey FROM pg GROUP BY gkey HAVING count(DISTINCT doc_id) >= 2),
+spans AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM pg JOIN dup USING (gkey)),
+isl AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM spans
+),
+run AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+cov AS (
+  SELECT doc_id, sum(mx - mn + 1) AS dup_tokens FROM (
+    SELECT doc_id, island, min(s) AS mn, max(e) AS mx
+    FROM run GROUP BY doc_id, island)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+            ELSE 0.0 END AS dup_fraction
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "decontaminate_documents": q_decontaminate_documents,
@@ -1067,11 +1304,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "streaming_dedup_exact_documents": q_streaming_dedup_exact_documents,
         "knn_join_self_embeddings": q_knn_join_self_embeddings,
+        "snapshot_delta_events": q_snapshot_delta_events,
+        "crawl_churn_events": q_crawl_churn_events,
+        "snapshot_intervals_events": q_snapshot_intervals_events,
+        "duplicated_spans_documents": q_duplicated_spans_documents,
+        "streaming_snapshot_delta_events": q_streaming_snapshot_delta_events,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "snapshot_delta_events": SNAPSHOT_DELTA_SQL,
+        "crawl_churn_events": CRAWL_CHURN_SQL,
+        "snapshot_intervals_events": SNAPSHOT_INTERVALS_SQL,
+        "duplicated_spans_documents": DUP_SPANS_SQL,
+        # the streaming delta replay must equal the batch delta operator
+        # row-for-row — identical oracle by design
+        "streaming_snapshot_delta_events": SNAPSHOT_DELTA_SQL,
         "decontaminate_documents": DECONTAM_SQL,
         "token_mix_documents": _token_mix_sql(),
         "text_stats_documents": _text_stats_sql(),
