@@ -712,6 +712,130 @@ def main() -> None:
         f"**{n_ex}** (must be exactly 1 — window and aggregate share it).\n"
     )
 
+    # 30. SCD-2 snapshot intervals: flags → run ids → run agg → lead
+    # stitch, ALL clustered by the key — one exchange for the chain
+    from intervalaverage_spark.functions.churn import snapshot_intervals
+
+    add(
+        "snapshot_intervals / SCD-2 (whole chain on one key exchange)",
+        snapshot_intervals(ev_churn, "user_id", "ts", "props"),
+        must=["Exchange hashpartitioning", "Window", "HashAggregate"],
+        must_not=["Join", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Raw crawl snapshots → validity intervals: change flags "
+            "(lag window), run numbering (running sum window), per-run "
+            "aggregate, and the valid_to lead stitch all require "
+            "clustering by the key — HashPartitioning(user_id) "
+            "satisfies every downstream ClusteredDistribution, so "
+            "EnsureRequirements plans ONE exchange for the whole "
+            "chain (count asserted below). At 100 TB of crawl history "
+            "this is the minimum possible data movement: one pass of "
+            "16-byte fingerprints + timestamps over the wire."
+        ),
+    )
+    si_plan = plan_of(snapshot_intervals(ev_churn, "user_id", "ts", "props"))
+    si_ex = si_plan.count("Exchange hashpartitioning")
+    sections.append(
+        f"## snapshot_intervals exchange count — "
+        f"{'OK' if si_ex == 1 else 'VIOLATION'}\n\n"
+        f"`Exchange hashpartitioning` occurrences in the SCD-2 plan: "
+        f"**{si_ex}** (must be exactly 1 — windows, run agg and lead "
+        f"stitch all reuse it).\n"
+    )
+
+    # 31. exact-substring duplication: gram traffic is 16 hashed bytes,
+    # no cartesian anywhere, span union via the interval engine itself
+    from intervalaverage_spark.functions.substr import duplicated_span_stats
+
+    add(
+        "duplicated_span_stats / ExactSubstr signal (hashed-gram shuffle)",
+        duplicated_span_stats(docs25, "doc_id", "text", n=8, min_docs=2),
+        must=["Exchange hashpartitioning", "HashAggregate"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Lee-et-al exact-substring stats: positional gram rows "
+            "shuffle on a 16-byte md5 gram key (never the n-word "
+            "string), the ≥min_docs gram set is DISTINCT before the "
+            "join-back (no row multiplication), and the overlapping "
+            "span union is the engine's own interval_coalesce over "
+            "token positions — duplicate-gram detection is partial-agg "
+            "(map-side combined) groupBys + one equi-join, no "
+            "cartesian node anywhere in the plan."
+        ),
+    )
+
+    # 32. decayed recrawl priority: churn plan shape + 1-row broadcast anchor
+    from intervalaverage_spark.functions.churn import recrawl_priority
+
+    add(
+        "recrawl_priority (one key exchange; broadcast 1-row decay anchor)",
+        recrawl_priority(ev_churn, "user_id", "ts", "props"),
+        must=["Exchange hashpartitioning", "Window", "HashAggregate",
+              "BroadcastNestedLoopJoin"],
+        must_not=["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Time-decayed churn: the snapshot_changes window and the "
+            "per-key decayed aggregate share one hashpartitioning(key) "
+            "exchange (count asserted below); the as_of anchor — the "
+            "dataset's max snapshot epoch — is a single-row aggregate "
+            "broadcast-cross-joined in (the BroadcastNestedLoopJoin "
+            "here is a 1-row broadcast, the sanctioned scalar-anchor "
+            "pattern, not a data-side cartesian)."
+        ),
+    )
+    rp_plan = plan_of(recrawl_priority(ev_churn, "user_id", "ts", "props"))
+    rp_ex = rp_plan.count("Exchange hashpartitioning")
+    sections.append(
+        f"## recrawl_priority exchange count — "
+        f"{'OK' if rp_ex == 1 else 'VIOLATION'}\n\n"
+        f"`Exchange hashpartitioning` occurrences: **{rp_ex}** (must be "
+        f"exactly 1 — the decay weights ride the churn exchange).\n"
+    )
+
+    # 33. sequence packing: distributed prefix sum, never a global window
+    from intervalaverage_spark.functions.packing import pack_sequences
+
+    add(
+        "pack_sequences (range-partitioned prefix sum, no global window)",
+        pack_sequences(docs25, "doc_id", "text", budget=512),
+        must=["Exchange rangepartitioning", "Window"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Concat-and-chunk training pack: the global token offset is "
+            "the two-phase distributed prefix sum (range repartition → "
+            "per-partition window cumsum → one bounded row per partition "
+            "to the driver) — the naive Window.orderBy(id) with no "
+            "partition key would collapse 100 TB into one task. The "
+            "windows below partition by __pid: every one is parallel."
+        ),
+    )
+
+    # 34. vocabulary stats: n_docs joins broadcast; shuffle is vocab-sized
+    from intervalaverage_spark.functions.vocab import top_terms
+
+    add(
+        "top_terms (broadcast n_docs join; vocab-sized shuffle)",
+        top_terms(docs25, "doc_id", "text", group_col="lang", k=20),
+        must=["BroadcastHashJoin", "HashAggregate",
+              "Exchange hashpartitioning"],
+        must_not=["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+        note=(
+            "Per-term cf/df/idf + top-k per language: the token explode "
+            "feeds a partial-aggregated groupBy(lang, term) — map-side "
+            "combine means the shuffle carries one row per distinct "
+            "(lang, term) per task (vocabulary-sized, not token-sized; "
+            "stopword skew absorbed at the mapper). The per-lang doc "
+            "count (rows = #languages) joins broadcast; the rank window "
+            "is over per-lang vocabularies."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)

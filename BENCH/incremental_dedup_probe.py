@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-DELTA_EVERY = 20  # doc_id % 20 == 0 ⇒ 5% of the corpus plays the delta
+DELTA_DOCS = 5000  # FIXED-size delta: the claim is flat cost in corpus size
 
 
 def main() -> None:
@@ -62,9 +62,9 @@ def main() -> None:
         for n in sizes:
             synth_corpus(spark, n).write.mode("overwrite").parquet(f"{base}/docs")
             corpus = spark.read.parquet(f"{base}/docs")
-            pred = F.col("doc_id") % DELTA_EVERY == 0
+            pred = F.col("doc_id") % (n // DELTA_DOCS) == 0
             delta, old = corpus.filter(pred), corpus.filter(~pred)
-            n_delta = n // DELTA_EVERY
+            n_delta = DELTA_DOCS
 
             # 1. previous ingest: persist stop list + band index of the base
             t0 = time.time()

@@ -174,6 +174,13 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         # (E46 — gram agg + join + interval-union over 5k docs)
         "snapshot_intervals_events",
         "duplicated_spans_documents",
+        # round-7 second wave: decayed churn (E48 — churn plan + 1-row
+        # broadcast anchor), sequence packing (E49 — distributed prefix
+        # sum + per-seq clip), vocabulary stats (E50 — vocab-sized
+        # shuffle + per-lang rank)
+        "recrawl_priority_events",
+        "sequence_fill_documents",
+        "top_terms_documents",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -328,6 +335,25 @@ def _bench_dedup_scale(spark) -> tuple[dict, dict, dict, dict]:
                                nprobe=1, exclude_self=True,
                                method="broadcast"))
         diag["self_knn_cells"] = self_cells
+
+        # round-7 second wave at corpus scale (the sf* documents fixture
+        # is 5k rows — semantics-sized): concat-and-chunk packing (global
+        # distributed prefix sum + per-sequence clipping) and vocabulary
+        # stats (token explode → vocab-sized shuffle) over the same 100k
+        # synthetic corpus the dedup keys use
+        from intervalaverage_spark.functions.packing import sequence_fill_stats
+        from intervalaverage_spark.functions.vocab import top_terms
+
+        timed(f"pack_sequences_{n_docs // 1000}k_docs",
+              lambda: sequence_fill_stats(docs, "doc_id", "text", budget=512))
+        # the synth corpus has no lang column — derive an 8-way stratum
+        # (what matters for the timing is the explode + vocab-keyed agg)
+        docs_l = docs.withColumn(
+            "lang", F.concat(F.lit("l"), (F.col("doc_id") % 8).cast("string"))
+        )
+        timed(f"top_terms_{n_docs // 1000}k_docs",
+              lambda: top_terms(docs_l, "doc_id", "text", group_col="lang",
+                                k=20))
 
         # untimed diagnostics: measured recall vs the planted ground truth
         truth = family_pairs(docs)

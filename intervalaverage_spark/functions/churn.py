@@ -213,3 +213,73 @@ def churn_stats(
             "avg_revisit_secs",
         )
     )
+
+
+def recrawl_priority(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_col: str,
+    half_life_secs: int = 7 * 86400,
+    min_snapshots: int = 2,
+) -> DataFrame:
+    """Time-decayed churn: the recrawl-scheduling score.
+
+    :func:`churn_stats` weighs a change from a year ago the same as one
+    from an hour ago; a crawl scheduler wants recency. Each revisit
+    snapshot (a key's 2nd..nth) gets weight ``w = 2^(-age/half_life)``
+    where ``age = as_of − ts`` and ``as_of`` is the dataset's newest
+    snapshot timestamp (the "now" the decay anchors to — derived from
+    the data so the operator stays deterministic and replayable).
+
+    Returns, per key with ≥ ``min_snapshots`` snapshots::
+
+        (key, n_snapshots,
+         decayed_changes,      -- Σ w over CHANGED revisits
+         decayed_visit_mass,   -- Σ w over all revisits
+         decayed_change_rate,  -- ratio of the two: recent-change propensity
+         secs_since_last)      -- staleness: as_of − last snapshot ts
+
+    All doubles rounded 6 dp (cross-engine ``exp``/``ln`` agree well
+    past 6 significant decimals; the fixed round keeps the driver's
+    value-hash gate meaningful). Keys whose revisits all predate many
+    half-lives decay toward 0 — rank by ``decayed_change_rate`` desc,
+    tie-break staleness, and you have the crawl queue.
+
+    Scale shape: the :func:`snapshot_changes` window and the per-key
+    aggregate share one ``hashpartitioning(key)`` exchange (same plan
+    as :func:`churn_stats`, BENCH/PLANS.md §29); the ``as_of`` anchor
+    is a 1-row global max broadcast-cross-joined in — no second scan
+    shuffles, no collect in the lineage.
+    """
+    lam = float(half_life_secs)
+    ch = snapshot_changes(df, key_col, ts_col, payload_col)
+    anchor = ch.agg(F.max(_epoch_secs(ts_col)).alias("__as_of"))
+    rev = ch.crossJoin(F.broadcast(anchor))
+    age = F.col("__as_of") - _epoch_secs(ts_col)
+    w = F.pow(F.lit(2.0), -age.cast("double") / F.lit(lam))
+    is_rev = F.col("revisit_secs").isNotNull()
+    return (
+        rev.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.sum(
+                F.when(is_rev & F.col("is_changed"), w).otherwise(F.lit(0.0))
+            ).alias("__dc"),
+            F.sum(F.when(is_rev, w).otherwise(F.lit(0.0))).alias("__dv"),
+            (F.first("__as_of") - F.max(_epoch_secs(ts_col))).alias(
+                "secs_since_last"
+            ),
+        )
+        .filter(F.col("n_snapshots") >= min_snapshots)
+        .select(
+            key_col,
+            "n_snapshots",
+            F.round("__dc", 6).alias("decayed_changes"),
+            F.round("__dv", 6).alias("decayed_visit_mass"),
+            F.round(F.col("__dc") / F.col("__dv"), 6).alias(
+                "decayed_change_rate"
+            ),
+            "secs_since_last",
+        )
+    )

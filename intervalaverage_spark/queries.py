@@ -1785,6 +1785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- never driver-green: errored in r6 (fixed r7) — must lead ----
         "knn_join_self_embeddings": p["knn_join_self_embeddings"],
         # ---- new in round 7 ----
+        "recrawl_priority_events": p["recrawl_priority_events"],
+        "pack_sequences_documents": p["pack_sequences_documents"],
+        "sequence_fill_documents": p["sequence_fill_documents"],
+        "top_terms_documents": p["top_terms_documents"],
         "decontaminate_documents": p["decontaminate_documents"],
         "token_mix_documents": p["token_mix_documents"],
         "snapshot_delta_events": p["snapshot_delta_events"],

@@ -1278,8 +1278,177 @@ FROM base b LEFT JOIN cov c USING (doc_id)
 """
 
 
+def q_recrawl_priority_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed churn (round 7, E48): per-key recency-weighted
+    change propensity + staleness — the crawl-queue ranking signal
+    (functions/churn.py recrawl_priority). Same one-key-exchange shape
+    as churn_stats; the decay anchor is a 1-row broadcast."""
+    from intervalaverage_spark.functions.churn import recrawl_priority
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return recrawl_priority(
+        ev, "user_id", "ts", "props", half_life_secs=7 * 86400
+    )
+
+
+RECRAWL_PRIORITY_SQL = """
+WITH f AS (
+  SELECT user_id, ts, md5(CAST(props AS VARCHAR)) AS fingerprint FROM events
+),
+ch AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 AS t,
+         fingerprint,
+         lag(fingerprint) OVER w AS prev_fp
+  FROM f
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, fingerprint)
+),
+a AS (SELECT max(t) AS as_of FROM ch)
+SELECT user_id,
+       count(*) AS n_snapshots,
+       round(sum(CASE WHEN prev_fp IS NOT NULL AND prev_fp <> fingerprint
+                      THEN power(2.0, (-CAST(a.as_of - t AS DOUBLE)) / 604800.0)
+                      ELSE 0.0 END), 6) AS decayed_changes,
+       round(sum(CASE WHEN prev_fp IS NOT NULL
+                      THEN power(2.0, (-CAST(a.as_of - t AS DOUBLE)) / 604800.0)
+                      ELSE 0.0 END), 6) AS decayed_visit_mass,
+       round(sum(CASE WHEN prev_fp IS NOT NULL AND prev_fp <> fingerprint
+                      THEN power(2.0, (-CAST(a.as_of - t AS DOUBLE)) / 604800.0)
+                      ELSE 0.0 END)
+             / sum(CASE WHEN prev_fp IS NOT NULL
+                        THEN power(2.0, (-CAST(a.as_of - t AS DOUBLE)) / 604800.0)
+                        ELSE 0.0 END), 6) AS decayed_change_rate,
+       CAST(a.as_of - max(t) AS BIGINT) AS secs_since_last
+FROM ch, a
+GROUP BY user_id, a.as_of
+HAVING count(*) >= 2
+"""
+
+
+def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (round 7, E49): concat-and-chunk the
+    corpus into 512-token sequences — per-doc stream offset, first/last
+    sequence id, boundary-crossing flag (functions/packing.py
+    pack_sequences). The global token offset is the two-phase
+    distributed prefix sum (sharding.py) — never a single-task window;
+    the oracle replays it as a plain SUM() OVER (ORDER BY doc_id)."""
+    from intervalaverage_spark.functions.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, "doc_id", "text", budget=512)
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT doc_id,
+       n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+       CAST(greatest(cum - 1, cum - n_tokens) // 512 AS BIGINT) AS seq_last,
+       (greatest(cum - 1, cum - n_tokens) // 512)
+         > ((cum - n_tokens) // 512) AS crosses_boundary
+FROM c
+"""
+
+
+def q_sequence_fill_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence fill accounting for the 512-token pack (round 7,
+    E49): docs exploded to the sequences they touch, token intervals
+    clipped per sequence — every interior sequence must be exactly
+    full; the tail's fill_fraction is the padding waste
+    (functions/packing.py sequence_fill_stats)."""
+    from intervalaverage_spark.functions.packing import sequence_fill_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sequence_fill_stats(docs, "doc_id", "text", budget=512)
+
+
+SEQUENCE_FILL_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+  FROM t
+),
+x AS (
+  SELECT doc_id, n_tokens,
+         cum - n_tokens AS s,
+         cum AS e,
+         unnest(generate_series((cum - n_tokens) // 512,
+                                (cum - 1) // 512)) AS seq
+  FROM c WHERE n_tokens > 0
+)
+SELECT CAST(seq AS BIGINT) AS seq,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(least(e, (seq + 1) * 512) - greatest(s, seq * 512))
+            AS BIGINT) AS n_tokens,
+       round(CAST(sum(least(e, (seq + 1) * 512) - greatest(s, seq * 512))
+                  AS DOUBLE) / 512.0, 6) AS fill_fraction
+FROM x
+GROUP BY seq
+"""
+
+
+def q_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary stats (round 7, E50): top-20 terms per language by
+    collection frequency, with document frequency and smoothed idf
+    (functions/vocab.py top_terms). The explode shuffles vocabulary-
+    sized traffic (map-side combine absorbs stopword skew); the rank
+    window is over per-lang vocabularies, never token instances."""
+    from intervalaverage_spark.functions.vocab import top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = top_terms(docs, "doc_id", "text", group_col="lang", k=20)
+    return out.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+TOP_TERMS_SQL = r"""
+WITH w AS (
+  SELECT lang, doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+pt AS (
+  SELECT lang, term, count(*) AS cf, count(DISTINCT doc_id) AS df
+  FROM w GROUP BY lang, term
+),
+nd AS (
+  SELECT lang, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY lang
+),
+j AS (
+  SELECT pt.lang AS lang, term, cf, pt.df AS df, n_docs,
+         round(ln((n_docs + 1) / (pt.df + 1)) + 1, 6) AS idf,
+         row_number() OVER (PARTITION BY pt.lang
+                            ORDER BY cf DESC, term ASC) AS rnk
+  FROM pt JOIN nd ON pt.lang = nd.lang
+)
+SELECT lang, term, cf, df, n_docs, idf, CAST(rnk AS BIGINT) AS rnk
+FROM j WHERE rnk <= 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "recrawl_priority_events": q_recrawl_priority_events,
+        "pack_sequences_documents": q_pack_sequences_documents,
+        "sequence_fill_documents": q_sequence_fill_documents,
+        "top_terms_documents": q_top_terms_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "token_mix_documents": q_token_mix_documents,
         "text_stats_documents": q_text_stats_documents,
@@ -1314,6 +1483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "recrawl_priority_events": RECRAWL_PRIORITY_SQL,
+        "pack_sequences_documents": PACK_SEQUENCES_SQL,
+        "sequence_fill_documents": SEQUENCE_FILL_SQL,
+        "top_terms_documents": TOP_TERMS_SQL,
         "snapshot_delta_events": SNAPSHOT_DELTA_SQL,
         "crawl_churn_events": CRAWL_CHURN_SQL,
         "snapshot_intervals_events": SNAPSHOT_INTERVALS_SQL,

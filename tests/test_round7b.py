@@ -1,0 +1,181 @@
+"""Round-7 second wave: decayed recrawl priority (E48), training-
+sequence packing (E49), vocabulary stats (E50).
+
+Known-answer tests computed by hand on tiny frames, plus the plan
+properties that keep each operator viable at 100 TB (one key exchange
+for recrawl; range-partitioned — never single-task — prefix sum for
+packing; broadcast n_docs join for vocab).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.functions.churn import recrawl_priority
+from intervalaverage_spark.functions.packing import (
+    pack_sequences,
+    sequence_fill_stats,
+)
+from intervalaverage_spark.functions.vocab import term_stats, top_terms
+from tests.conftest import rows
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------ E48 recrawl_priority
+
+def _snap_frame(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda secs: t0 + datetime.timedelta(seconds=secs)  # noqa: E731
+    data = [
+        ("a", s(0), "p1"),
+        ("a", s(100), "p2"),   # changed revisit
+        ("a", s(200), "p2"),   # unchanged revisit — as_of anchor
+        ("b", s(50), "q1"),    # single snapshot: filtered out
+    ]
+    return spark.createDataFrame(data, "k string, ts timestamp, p string")
+
+
+def test_recrawl_priority_known_answer(spark):
+    out = rows(
+        recrawl_priority(_snap_frame(spark), "k", "ts", "p",
+                         half_life_secs=100),
+        "k",
+    )
+    assert [r["k"] for r in out] == ["a"]
+    r = out[0]
+    # as_of = 200; weights: t=100 → 2^-1 = 0.5, t=200 → 2^0 = 1.0
+    assert r["n_snapshots"] == 3
+    assert r["decayed_changes"] == 0.5        # only the t=100 change
+    assert r["decayed_visit_mass"] == 1.5     # both revisits
+    assert r["decayed_change_rate"] == round(0.5 / 1.5, 6)
+    assert r["secs_since_last"] == 0
+
+
+def test_recrawl_priority_first_snapshot_excluded(spark):
+    """A key's first snapshot is storage, not churn: a 2-snapshot key
+    with no payload change must score 0, not pick up the first row's
+    trivially-true is_changed."""
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, "p"), ("a", t0 + datetime.timedelta(seconds=60), "p")],
+        "k string, ts timestamp, p string",
+    )
+    r = rows(recrawl_priority(df, "k", "ts", "p", half_life_secs=60), "k")[0]
+    assert r["decayed_changes"] == 0.0
+    assert r["decayed_visit_mass"] == 1.0     # the t=60 revisit at age 0
+    assert r["decayed_change_rate"] == 0.0
+
+
+def test_recrawl_priority_single_key_exchange(spark):
+    """The snapshot_changes window and the per-key aggregate share one
+    hashpartitioning(key) exchange — the churn-family plan shape."""
+    p = _plan(recrawl_priority(_snap_frame(spark), "k", "ts", "p"))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+# ------------------------------------------------ E49 sequence packing
+
+def _doc_frame(spark):
+    data = [
+        (1, "a b c"),        # 3 tokens
+        (2, "d e"),          # 2 tokens
+        (3, ""),             # empty doc
+        (4, "f g h i j k"),  # 6 tokens
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_pack_sequences_known_answer(spark):
+    out = {r["doc_id"]: r
+           for r in rows(pack_sequences(_doc_frame(spark), budget=4),
+                         "doc_id")}
+    # stream: [0,3) doc1 | [3,5) doc2 | doc3 empty at 5 | [5,11) doc4
+    assert (out[1]["start_offset"], out[1]["seq_first"],
+            out[1]["seq_last"], out[1]["crosses_boundary"]) == (0, 0, 0, False)
+    assert (out[2]["start_offset"], out[2]["seq_first"],
+            out[2]["seq_last"], out[2]["crosses_boundary"]) == (3, 0, 1, True)
+    assert (out[3]["n_tokens"], out[3]["seq_first"],
+            out[3]["seq_last"], out[3]["crosses_boundary"]) == (0, 1, 1, False)
+    assert (out[4]["start_offset"], out[4]["seq_first"],
+            out[4]["seq_last"], out[4]["crosses_boundary"]) == (5, 1, 2, True)
+
+
+def test_sequence_fill_known_answer(spark):
+    out = {r["seq"]: r
+           for r in rows(sequence_fill_stats(_doc_frame(spark), budget=4),
+                         "seq")}
+    assert set(out) == {0, 1, 2}
+    # interior sequences exactly full
+    assert (out[0]["n_docs"], out[0]["n_tokens"],
+            out[0]["fill_fraction"]) == (2, 4, 1.0)
+    assert (out[1]["n_docs"], out[1]["n_tokens"],
+            out[1]["fill_fraction"]) == (2, 4, 1.0)
+    # tail holds doc4's last 3 tokens
+    assert (out[2]["n_docs"], out[2]["n_tokens"],
+            out[2]["fill_fraction"]) == (1, 3, 0.75)
+
+
+def test_pack_total_tokens_conserved(spark):
+    """The pack is a partition of the token stream: per-sequence token
+    sums must add back to the corpus total."""
+    docs = _doc_frame(spark)
+    total = docs.select(
+        F.sum(F.size(F.filter(F.split("text", r"\s+"),
+                              lambda t: t != ""))).alias("t")
+    ).first()["t"]
+    packed = sequence_fill_stats(docs, budget=4)
+    assert packed.agg(F.sum("n_tokens")).first()[0] == total
+
+
+def test_pack_uses_range_partitioning(spark):
+    """The global prefix sum must plan as a range repartition +
+    per-partition windows — never one single-partition global window."""
+    p = _plan(pack_sequences(_doc_frame(spark), budget=4))
+    assert "rangepartitioning" in p.lower()
+
+
+# ------------------------------------------------ E50 vocabulary stats
+
+def _vocab_frame(spark):
+    data = [
+        (1, "the cat The", "en"),
+        (2, "the dog", "en"),
+        (3, "chien", "fr"),
+    ]
+    return spark.createDataFrame(data, "doc_id long, text string, lang string")
+
+
+def test_term_stats_known_answer(spark):
+    import math
+
+    out = {(r["lang"], r["term"]): r
+           for r in rows(term_stats(_vocab_frame(spark), group_col="lang"),
+                         "lang", "term")}
+    the = out[("en", "the")]
+    assert (the["cf"], the["df"], the["n_docs"]) == (3, 2, 2)
+    assert the["idf"] == round(math.log(3 / 3) + 1, 6) == 1.0
+    cat = out[("en", "cat")]
+    assert (cat["cf"], cat["df"]) == (1, 1)
+    assert cat["idf"] == round(math.log(3 / 2) + 1, 6)
+    assert out[("fr", "chien")]["n_docs"] == 1
+
+
+def test_top_terms_rank_and_tiebreak(spark):
+    out = rows(top_terms(_vocab_frame(spark), group_col="lang", k=2),
+               "lang", "rnk")
+    en = [(r["term"], r["rnk"]) for r in out if r["lang"] == "en"]
+    # cf desc, then term asc: cat beats dog at cf=1
+    assert en == [("the", 1), ("cat", 2)]
+    fr = [(r["term"], r["rnk"]) for r in out if r["lang"] == "fr"]
+    assert fr == [("chien", 1)]
+
+
+def test_term_stats_ndocs_join_is_broadcast(spark):
+    p = _plan(term_stats(_vocab_frame(spark), group_col="lang"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
