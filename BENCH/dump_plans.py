@@ -691,7 +691,7 @@ def main() -> None:
     add(
         "crawl churn stats (single key-hash exchange end to end)",
         churn_stats(ev_churn, "user_id", "ts", "props"),
-        must=["Exchange hashpartitioning", "Window", "HashAggregate"],
+        must=["hashpartitioning(", "Window", "HashAggregate"],
         must_not=["Join", "BatchEvalPython", "ArrowEvalPython",
                   "FlatMapGroupsInPandas"],
         note=(
@@ -705,10 +705,10 @@ def main() -> None:
         ),
     )
     churn_plan = plan_of(churn_stats(ev_churn, "user_id", "ts", "props"))
-    n_ex = churn_plan.count("Exchange hashpartitioning")
+    n_ex = churn_plan.count("hashpartitioning(")
     sections.append(
         f"## churn exchange count — {'OK' if n_ex == 1 else 'VIOLATION'}\n\n"
-        f"`Exchange hashpartitioning` occurrences in the churn_stats plan: "
+        f"hash-exchange (`hashpartitioning(`) occurrences in the churn_stats plan: "
         f"**{n_ex}** (must be exactly 1 — window and aggregate share it).\n"
     )
 
@@ -719,7 +719,9 @@ def main() -> None:
     add(
         "snapshot_intervals / SCD-2 (whole chain on one key exchange)",
         snapshot_intervals(ev_churn, "user_id", "ts", "props"),
-        must=["Exchange hashpartitioning", "Window", "HashAggregate"],
+        # the per-run agg plans as SortAggregate — it reuses the window's
+        # (key, ts) sort order instead of re-hashing, which is the point
+        must=["hashpartitioning(", "Window", "Aggregate"],
         must_not=["Join", "BatchEvalPython", "ArrowEvalPython",
                   "FlatMapGroupsInPandas"],
         note=(
@@ -735,11 +737,11 @@ def main() -> None:
         ),
     )
     si_plan = plan_of(snapshot_intervals(ev_churn, "user_id", "ts", "props"))
-    si_ex = si_plan.count("Exchange hashpartitioning")
+    si_ex = si_plan.count("hashpartitioning(")
     sections.append(
         f"## snapshot_intervals exchange count — "
         f"{'OK' if si_ex == 1 else 'VIOLATION'}\n\n"
-        f"`Exchange hashpartitioning` occurrences in the SCD-2 plan: "
+        f"hash-exchange (`hashpartitioning(`) occurrences in the SCD-2 plan: "
         f"**{si_ex}** (must be exactly 1 — windows, run agg and lead "
         f"stitch all reuse it).\n"
     )
@@ -751,7 +753,7 @@ def main() -> None:
     add(
         "duplicated_span_stats / ExactSubstr signal (hashed-gram shuffle)",
         duplicated_span_stats(docs25, "doc_id", "text", n=8, min_docs=2),
-        must=["Exchange hashpartitioning", "HashAggregate"],
+        must=["hashpartitioning(", "HashAggregate"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
                   "BatchEvalPython", "ArrowEvalPython",
                   "FlatMapGroupsInPandas"],
@@ -773,7 +775,7 @@ def main() -> None:
     add(
         "recrawl_priority (one key exchange; broadcast 1-row decay anchor)",
         recrawl_priority(ev_churn, "user_id", "ts", "props"),
-        must=["Exchange hashpartitioning", "Window", "HashAggregate",
+        must=["hashpartitioning(", "Window", "HashAggregate",
               "BroadcastNestedLoopJoin"],
         must_not=["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython",
                   "FlatMapGroupsInPandas"],
@@ -788,11 +790,11 @@ def main() -> None:
         ),
     )
     rp_plan = plan_of(recrawl_priority(ev_churn, "user_id", "ts", "props"))
-    rp_ex = rp_plan.count("Exchange hashpartitioning")
+    rp_ex = rp_plan.count("hashpartitioning(")
     sections.append(
         f"## recrawl_priority exchange count — "
         f"{'OK' if rp_ex == 1 else 'VIOLATION'}\n\n"
-        f"`Exchange hashpartitioning` occurrences: **{rp_ex}** (must be "
+        f"hash-exchange (`hashpartitioning(`) occurrences: **{rp_ex}** (must be "
         f"exactly 1 — the decay weights ride the churn exchange).\n"
     )
 
@@ -800,18 +802,22 @@ def main() -> None:
     from intervalaverage_spark.functions.packing import pack_sequences
 
     add(
-        "pack_sequences (range-partitioned prefix sum, no global window)",
+        "pack_sequences (rides the frozen prefix sum; arithmetic only)",
         pack_sequences(docs25, "doc_id", "text", budget=512),
-        must=["Exchange rangepartitioning", "Window"],
-        must_not=["BatchEvalPython", "ArrowEvalPython",
-                  "FlatMapGroupsInPandas"],
+        must=["Scan ExistingRDD"],
+        must_not=["Window", "Exchange", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas"],
         note=(
             "Concat-and-chunk training pack: the global token offset is "
-            "the two-phase distributed prefix sum (range repartition → "
-            "per-partition window cumsum → one bounded row per partition "
-            "to the driver) — the naive Window.orderBy(id) with no "
-            "partition key would collapse 100 TB into one task. The "
-            "windows below partition by __pid: every one is parallel."
+            "the two-phase distributed prefix sum of assign_shards "
+            "(range repartition → per-partition window cumsum → one "
+            "bounded row per partition to the driver; audited in the "
+            "shard-assignment sections above — the pre-checkpoint stage "
+            "shows the rangepartitioning, and sharding.py's "
+            "localCheckpoint freezes it, hence `Scan ExistingRDD` "
+            "here). Everything packing adds on top — offsets, sequence "
+            "ids, boundary flags — is a pure projection: no further "
+            "Window, no further Exchange."
         ),
     )
 
@@ -822,7 +828,7 @@ def main() -> None:
         "top_terms (broadcast n_docs join; vocab-sized shuffle)",
         top_terms(docs25, "doc_id", "text", group_col="lang", k=20),
         must=["BroadcastHashJoin", "HashAggregate",
-              "Exchange hashpartitioning"],
+              "hashpartitioning("],
         must_not=["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
                   "ArrowEvalPython"],
         note=(

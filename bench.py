@@ -355,6 +355,17 @@ def _bench_dedup_scale(spark) -> tuple[dict, dict, dict, dict]:
               lambda: top_terms(docs_l, "doc_id", "text", group_col="lang",
                                 k=20))
 
+        # trained IVF quantizer (E51): 3 Lloyd iterations at 64 cells on
+        # a quarter sample — the training loop a real IVF build pays
+        from intervalaverage_spark.functions.ann import train_ivf_centroids
+
+        stamps[f"ivf_train_3it_64c_{n_vecs // 1000}k_vecs"] = _host_probe_factor()
+        t0 = time.time()
+        train_ivf_centroids(vecs, "vec_id", "embedding", n_cells=64,
+                            n_iter=3, sample_every=4)
+        warm[f"ivf_train_3it_64c_{n_vecs // 1000}k_vecs"] = round(
+            time.time() - t0, 3)
+
         # untimed diagnostics: measured recall vs the planted ground truth
         truth = family_pairs(docs)
         diag["verified_pairs"] = pairs.count()

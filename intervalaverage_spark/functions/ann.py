@@ -450,3 +450,98 @@ def srp_topk(
         c = srp_bucket(v, dims, b, planes) == F.lit(qb[b])
         cond = c if cond is None else (cond | c)
     return brute_topk(df.filter(cond), query_vec, id_col, vec_col, k)
+
+
+def quantizer_quality(
+    df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]
+) -> float:
+    """Mean cosine between each (clean) vector and its assigned centroid —
+    the spherical-k-means objective. One broadcast-GEMM assignment + one
+    JVM cosine fold against the centroid looked up from a literal map;
+    higher is a tighter quantizer (⇒ better recall at a given nprobe)."""
+    assigned = assign_cells_broadcast(df, vec_col, cents).filter(
+        F.col("ivf_cell").isNotNull()
+    )
+    cmap = F.create_map(
+        *[x for cid, cv in cents
+          for x in (F.lit(cid), F.array(*[F.lit(v) for v in cv]))]
+    )
+    cos = cosine(F.col(vec_col).cast("array<double>"),
+                 F.element_at(cmap, F.col("ivf_cell")))
+    row = assigned.agg(F.avg(cos).alias("q")).first()
+    return float(row["q"])
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    sample_every: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) training for the IVF coarse quantizer.
+
+    :func:`ivf_cells`' sampled lowest-id centroids are the deterministic
+    oracle-replayable stand-in; this trains REAL centroids from the same
+    init, for the regime where recall-per-nprobe matters more than
+    cross-engine replay (the round-7 probe measured the untrained
+    quantizer at recall@10 = 0.32 with nprobe=1 at n_cells=√n — training
+    exists to push that up without probing more cells).
+
+    Per iteration, everything heavy stays distributed and JVM/Arrow-side:
+
+    1. assignment — :func:`assign_cells_broadcast`: one GEMM per Arrow
+       batch against the broadcast centroid matrix (no shuffle);
+    2. update — per-cell ELEMENT-WISE mean as ``dim`` scalar ``avg``
+       aggregates in ONE ``groupBy(cell)`` (map-side combined, one
+       vocabulary-sized shuffle of n_cells×dim partial sums — never a
+       row-exploding posexplode), then renormalized to unit length
+       (spherical k-means: the mean direction is the cosine-optimal
+       centroid);
+    3. the n_cells×dim result — bounded, centroid-sized — is collected
+       and rebroadcast; empty cells keep their previous centroid.
+
+    ``sample_every``: train on the deterministic ``id % k == 0`` subset
+    (standard IVF practice — centroids need a sample, not the corpus;
+    no RNG, so reruns see the same sample). Iteration count is the only
+    other knob: k-means monotonically improves the quantizer objective
+    (asserted in tests via :func:`quantizer_quality`).
+
+    Determinism caveat (why this has no DuckDB oracle): the per-cell
+    ``avg`` sums floats in partition order, so trained centroids are
+    bit-stable only per plan execution, not across engines — the driver
+    row for this operator is rows-only by necessity, like the xxhash64
+    checkpoints. The QUERY-side structure (quantize → probe → rerank)
+    is unchanged and stays fully oracled via the sampled-centroid path.
+    """
+    base = df.select(id_col, vec_col)
+    if sample_every and sample_every > 1:
+        base = base.filter(F.col(id_col) % sample_every == 0)
+    _, cents = ivf_cells(base, id_col, vec_col, n_cells, method="broadcast")
+    dim = len(cents[0][1])
+    for _ in range(n_iter):
+        assigned = assign_cells_broadcast(base, vec_col, cents).filter(
+            F.col("ivf_cell").isNotNull()
+        )
+        aggs = [
+            F.avg(F.col(vec_col)[i].cast("double")).alias(f"_c{i}")
+            for i in range(dim)
+        ]
+        means = assigned.groupBy("ivf_cell").agg(*aggs)
+        arr = F.array(*[F.col(f"_c{i}") for i in range(dim)])
+        nrm = F.sqrt(
+            F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0),
+                        lambda s, p: s + p)
+        )
+        new = {
+            int(r["cid"]): [float(x) for x in r["c"]]
+            for r in means.select(
+                F.col("ivf_cell").alias("cid"),
+                F.when(nrm > 0, F.transform(arr, lambda x: x / nrm))
+                 .alias("c"),
+            ).collect()
+            if r["c"] is not None
+        }
+        cents = [(cid, new.get(cid, old)) for cid, old in cents]
+    return cents

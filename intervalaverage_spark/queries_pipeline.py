@@ -1382,7 +1382,7 @@ WITH t AS (
 ),
 c AS (
   SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
   FROM t
 ),
 x AS (
@@ -1443,9 +1443,42 @@ FROM j WHERE rnk <= 20
 """
 
 
+def q_ivf_train_quality_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trained IVF quantizer (round 7, E51): 3 Lloyd iterations of
+    spherical k-means (functions/ann.py train_ivf_centroids) vs the
+    deterministic sampled init, scored by the quantizer objective (mean
+    assigned cosine, functions/ann.py quantizer_quality). Rows-only by
+    necessity: the per-cell float means sum in partition order, so the
+    trained centroids are not cross-engine replayable (same adjudicated
+    class as the xxhash64 checkpoint rows). The monotone-improvement
+    property is pytest-pinned instead (tests/test_round7b.py)."""
+    from intervalaverage_spark.functions.ann import (
+        ivf_cells,
+        quantizer_quality,
+        train_ivf_centroids,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, sampled = ivf_cells(vecs, "vec_id", "embedding", n_cells=16,
+                           method="broadcast")
+    trained = train_ivf_centroids(vecs, "vec_id", "embedding", n_cells=16,
+                                  n_iter=3)
+    rows = [
+        ("sampled", 16, float(quantizer_quality(vecs, "embedding", sampled))),
+        ("trained_3it", 16,
+         float(quantizer_quality(vecs, "embedding", trained))),
+    ]
+    return spark.createDataFrame(
+        rows, "quantizer string, n_cells long, mean_cosine double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "recrawl_priority_events": q_recrawl_priority_events,
+        "ivf_train_quality_embeddings": q_ivf_train_quality_embeddings,
         "pack_sequences_documents": q_pack_sequences_documents,
         "sequence_fill_documents": q_sequence_fill_documents,
         "top_terms_documents": q_top_terms_documents,

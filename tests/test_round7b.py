@@ -132,11 +132,16 @@ def test_pack_total_tokens_conserved(spark):
     assert packed.agg(F.sum("n_tokens")).first()[0] == total
 
 
-def test_pack_uses_range_partitioning(spark):
-    """The global prefix sum must plan as a range repartition +
-    per-partition windows — never one single-partition global window."""
+def test_pack_adds_no_shuffle_over_prefix_sum(spark):
+    """pack_sequences rides assign_shards' two-phase prefix sum (the
+    range repartition + per-partition windows live BEHIND its frozen
+    localCheckpoint — sharding.py's correctness note): the final plan
+    must read that frozen base and add pure arithmetic — no Window, no
+    Exchange, no single-task global sort on top."""
     p = _plan(pack_sequences(_doc_frame(spark), budget=4))
-    assert "rangepartitioning" in p.lower()
+    assert "Scan ExistingRDD" in p          # the frozen partitioned base
+    assert "Window" not in p
+    assert "Exchange" not in p
 
 
 # ------------------------------------------------ E50 vocabulary stats
@@ -179,3 +184,49 @@ def test_term_stats_ndocs_join_is_broadcast(spark):
     p = _plan(term_stats(_vocab_frame(spark), group_col="lang"))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+# ------------------------------------------ E51 trained IVF quantizer
+
+def test_kmeans_training_improves_quantizer(spark):
+    """Lloyd iterations must not worsen the spherical-k-means objective
+    (mean assigned cosine) vs the sampled init, and trained centroids
+    must stay unit-norm with the original cell ids."""
+    import math
+
+    from intervalaverage_spark.functions.ann import (
+        ivf_cells,
+        quantizer_quality,
+        train_ivf_centroids,
+    )
+    from intervalaverage_spark.sources.corpus import synth_embeddings
+
+    vecs = synth_embeddings(spark, 400)
+    _, sampled = ivf_cells(vecs, "vec_id", "embedding", n_cells=8,
+                           method="broadcast")
+    trained = train_ivf_centroids(vecs, "vec_id", "embedding", n_cells=8,
+                                  n_iter=3)
+    q0 = quantizer_quality(vecs, "embedding", sampled)
+    q3 = quantizer_quality(vecs, "embedding", trained)
+    assert q3 >= q0 - 1e-9, f"training worsened the objective: {q0} -> {q3}"
+    assert [cid for cid, _ in trained] == [cid for cid, _ in sampled]
+    for _, cv in trained:
+        assert math.isclose(sum(x * x for x in cv), 1.0, rel_tol=1e-6)
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """A centroid that attracts no vectors must survive the iteration
+    unchanged (not vanish or go NaN)."""
+    from intervalaverage_spark.functions.ann import train_ivf_centroids
+
+    # two tight clusters + 4 requested cells: at least one init centroid
+    # ends up empty after the first assignment
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)] + [
+        (i, [0.0, 1.0, 0.0, 0.0]) for i in range(6, 12)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(vecs, "vec_id", "embedding", n_cells=4,
+                                n_iter=2)
+    assert len(cents) == 4
+    for _, cv in cents:
+        assert all(x == x for x in cv)  # no NaN
