@@ -1787,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 7 ----
         "recrawl_priority_events": p["recrawl_priority_events"],
         "ivf_train_quality_embeddings": p["ivf_train_quality_embeddings"],
+        "version_coexistence_events": p["version_coexistence_events"],
         "pack_sequences_documents": p["pack_sequences_documents"],
         "sequence_fill_documents": p["sequence_fill_documents"],
         "top_terms_documents": p["top_terms_documents"],

@@ -1475,9 +1475,113 @@ def q_ivf_train_quality_embeddings(
     )
 
 
+def q_version_coexistence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dimension version coexistence (round 7, E52): SCD-2
+    validity intervals built from TWO payload dimensions of the same
+    crawl stream (content fingerprint = props; type fingerprint =
+    event_type), then intersected with the engine's own
+    interval_intersect — which (content-version, type-version) pairs
+    were live simultaneously, and for how long. This is E45's bridge
+    claim executed end to end: snapshot_intervals manufactures interval
+    tables, and the reference's core operator consumes them unchanged.
+
+    Closed-interval convention: a version is valid [valid_from,
+    next_valid_from), so closed end = valid_to_sec − 1; the CURRENT
+    version closes at the dataset's max snapshot second (broadcast
+    1-row anchor). Zero-duration versions (superseded within the same
+    second — only possible via same-ts tie snapshots) are dropped on
+    BOTH sides; they never coexist with anything for a measurable
+    interval."""
+    from intervalaverage_spark.functions.churn import snapshot_intervals
+    from intervalaverage_spark.operators.intersect import interval_intersect
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    anchor = ev.agg(
+        F.unix_timestamp(F.max("ts")).cast("long").alias("__mx")
+    )
+
+    def closed(payload: str, fp_out: str, s: str, e: str) -> DataFrame:
+        iv = snapshot_intervals(ev, "user_id", "ts", payload)
+        out = iv.crossJoin(F.broadcast(anchor)).select(
+            "user_id",
+            F.col("fingerprint").alias(fp_out),
+            F.unix_timestamp("valid_from").cast("long").alias(s),
+            (
+                F.coalesce(
+                    F.unix_timestamp("valid_to").cast("long"),
+                    F.col("__mx") + 1,
+                )
+                - 1
+            ).alias(e),
+        )
+        return out.filter(F.col(e) >= F.col(s))
+
+    x = closed("props", "fp_props", "vs", "ve")
+    y = closed("event_type", "fp_type", "ws", "we")
+    out = interval_intersect(
+        x, y, {"vs": "ws", "ve": "we"}, group_vars=["user_id"],
+        validate=False, sort=False,
+    )
+    return out.select(
+        "user_id", "fp_props", "fp_type", "start", "end",
+        (F.col("end") - F.col("start") + 1).alias("coexist_secs"),
+    )
+
+
+def _scd2_closed_sql(payload: str, fp_out: str) -> str:
+    return f"""
+  SELECT user_id, fingerprint AS {fp_out},
+         vf AS s,
+         COALESCE(vt, (SELECT m FROM mx) + 1) - 1 AS e
+  FROM (
+    SELECT user_id, fingerprint,
+           epoch_us(valid_from) // 1000000 AS vf,
+           epoch_us(lead(valid_from) OVER (PARTITION BY user_id
+                                           ORDER BY run_id)) // 1000000 AS vt
+    FROM (
+      SELECT user_id, run_id,
+             min(fingerprint) AS fingerprint,
+             min(ts) AS valid_from
+      FROM (
+        SELECT *, sum(is_changed) OVER (PARTITION BY user_id
+                                        ORDER BY ts, fingerprint
+                                        ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM (
+          SELECT user_id, ts, fingerprint,
+                 CASE WHEN lag(fingerprint) OVER w IS NULL
+                        OR lag(fingerprint) OVER w <> fingerprint
+                      THEN 1 ELSE 0 END AS is_changed
+          FROM (SELECT user_id, ts,
+                       md5(CAST({payload} AS VARCHAR)) AS fingerprint
+                FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, fingerprint)
+        )
+      ) GROUP BY user_id, run_id
+    )
+  )
+  WHERE COALESCE(vt, (SELECT m FROM mx) + 1) - 1 >= vf
+"""
+
+
+VERSION_COEXISTENCE_SQL = f"""
+WITH mx AS (SELECT max(epoch_us(ts) // 1000000) AS m FROM events),
+a AS ({_scd2_closed_sql("props", "fp_props")}),
+b AS ({_scd2_closed_sql("event_type", "fp_type")})
+SELECT a.user_id,
+       fp_props,
+       fp_type,
+       GREATEST(a.s, b.s) AS start,
+       LEAST(a.e, b.e) AS "end",
+       LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS coexist_secs
+FROM a JOIN b
+  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "recrawl_priority_events": q_recrawl_priority_events,
+        "version_coexistence_events": q_version_coexistence_events,
         "ivf_train_quality_embeddings": q_ivf_train_quality_embeddings,
         "pack_sequences_documents": q_pack_sequences_documents,
         "sequence_fill_documents": q_sequence_fill_documents,
@@ -1517,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "recrawl_priority_events": RECRAWL_PRIORITY_SQL,
+        "version_coexistence_events": VERSION_COEXISTENCE_SQL,
         "pack_sequences_documents": PACK_SEQUENCES_SQL,
         "sequence_fill_documents": SEQUENCE_FILL_SQL,
         "top_terms_documents": TOP_TERMS_SQL,

@@ -230,3 +230,40 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert len(cents) == 4
     for _, cv in cents:
         assert all(x == x for x in cv)  # no NaN
+
+
+# ------------------------------------- E52 cross-dimension coexistence
+
+def test_version_coexistence_known_answer(spark, tmp_path):
+    """SCD-2 intervals from two payload dimensions of one crawl stream,
+    intersected by the engine's interval_intersect: hand-computed
+    coexistence windows, current versions closed at the dataset max."""
+    import datetime
+
+    from intervalaverage_spark.queries_pipeline import (
+        q_version_coexistence_events,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda secs: t0 + datetime.timedelta(seconds=secs)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (0, s(0), 7, "X", 0.0, "p1"),
+            (1, s(100), 7, "X", 0.0, "p2"),
+            (2, s(200), 7, "Y", 0.0, "p2"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = rows(q_version_coexistence_events(spark, str(tmp_path)),
+               "start", "fp_type")
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    got = [(r["start"] - base, r["end"] - base, r["coexist_secs"])
+           for r in out]
+    # (p1,X): [0,99]; (p2,X): [100,199]; (p2,Y): [200,200]
+    assert got == [(0, 99, 100), (100, 199, 100), (200, 200, 1)]
+    fps = {(r["start"] - base): (r["fp_props"], r["fp_type"]) for r in out}
+    assert fps[0][0] != fps[100][0]           # p1 vs p2
+    assert fps[100][1] == fps[0][1]           # X carries over
+    assert fps[200][1] != fps[100][1]         # Y is new
