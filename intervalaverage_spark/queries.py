@@ -1788,6 +1788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority_events": p["recrawl_priority_events"],
         "ivf_train_quality_embeddings": p["ivf_train_quality_embeddings"],
         "version_coexistence_events": p["version_coexistence_events"],
+        "streaming_recrawl_priority_events":
+            p["streaming_recrawl_priority_events"],
         "pack_sequences_documents": p["pack_sequences_documents"],
         "sequence_fill_documents": p["sequence_fill_documents"],
         "top_terms_documents": p["top_terms_documents"],

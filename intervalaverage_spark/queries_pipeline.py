@@ -1578,9 +1578,91 @@ FROM a JOIN b
 """
 
 
+def q_streaming_recrawl_priority_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming decayed churn (round 7, E53): incremental recrawl-
+    priority state via applyInPandasWithState — per-key EWMA recurrence
+    S ← S·2^(−Δt/hl) + x anchored at the key's own latest snapshot
+    (streaming/churn_stream.py streaming_decayed_churn), then a batch
+    finalize that rescales every key to the GLOBAL anchor (one
+    2^(−Δ/hl) factor) and applies the min_snapshots filter. Bounded
+    availableNow replay must equal the batch operator — same oracle as
+    recrawl_priority_events. The decayed_change_rate is the unscaled
+    ratio (the anchor factor cancels exactly)."""
+    from intervalaverage_spark.streaming.churn_stream import (
+        streaming_decayed_churn,
+    )
+
+    hl = 7 * 86400
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    churn = streaming_decayed_churn(src, "user_id", "ts", "props",
+                                    half_life_secs=hl)
+    name = "q_streaming_recrawl_priority_events"
+    q = (
+        churn.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_recrawl_priority: availableNow query did not "
+            "finish within 300s; refusing to compare a truncated sink"
+        )
+    q.stop()
+    sink = spark.table(name)
+    # per-key latest running total (monotone in n_snapshots; one row per
+    # key under single-batch availableNow, robust to multi-batch replays)
+    from pyspark.sql import Window as _W
+
+    latest = (
+        sink.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("key").orderBy(F.col("n_snapshots").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    anchor = latest.agg(F.max("last_ts_sec").alias("__as_of"))
+    fac = F.pow(
+        F.lit(2.0),
+        -(F.col("__as_of") - F.col("last_ts_sec")).cast("double")
+        / F.lit(float(hl)),
+    )
+    return (
+        latest.crossJoin(F.broadcast(anchor))
+        .filter(F.col("n_snapshots") >= 2)
+        .select(
+            F.col("key").alias("user_id"),
+            "n_snapshots",
+            F.round(F.col("decayed_changes") * fac, 6).alias(
+                "decayed_changes"
+            ),
+            F.round(F.col("decayed_visit_mass") * fac, 6).alias(
+                "decayed_visit_mass"
+            ),
+            F.round(
+                F.col("decayed_changes") / F.col("decayed_visit_mass"), 6
+            ).alias("decayed_change_rate"),
+            (F.col("__as_of") - F.col("last_ts_sec")).alias(
+                "secs_since_last"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "recrawl_priority_events": q_recrawl_priority_events,
+        "streaming_recrawl_priority_events":
+            q_streaming_recrawl_priority_events,
         "version_coexistence_events": q_version_coexistence_events,
         "ivf_train_quality_embeddings": q_ivf_train_quality_embeddings,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1622,6 +1704,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "recrawl_priority_events": RECRAWL_PRIORITY_SQL,
         "version_coexistence_events": VERSION_COEXISTENCE_SQL,
+        # the streaming EWMA replay must equal the batch decayed-churn
+        # operator — identical oracle by design (anchor factor rescale)
+        "streaming_recrawl_priority_events": RECRAWL_PRIORITY_SQL,
         "pack_sequences_documents": PACK_SEQUENCES_SQL,
         "sequence_fill_documents": SEQUENCE_FILL_SQL,
         "top_terms_documents": TOP_TERMS_SQL,

@@ -267,3 +267,98 @@ def test_version_coexistence_known_answer(spark, tmp_path):
     assert fps[0][0] != fps[100][0]           # p1 vs p2
     assert fps[100][1] == fps[0][1]           # X carries over
     assert fps[200][1] != fps[100][1]         # Y is new
+
+
+# --------------------------------------- E53 streaming decayed churn
+
+def test_streaming_decayed_churn_equals_batch(spark, tmp_path):
+    """availableNow replay of the incremental EWMA state, rescaled to
+    the global anchor, must equal the batch recrawl_priority operator
+    at the 6-dp round (the driver-row contract)."""
+    from intervalaverage_spark.functions.churn import recrawl_priority
+    from intervalaverage_spark.queries_pipeline import (
+        q_streaming_recrawl_priority_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    batch = rows(
+        recrawl_priority(ev, "user_id", "ts", "props",
+                         half_life_secs=7 * 86400),
+        "user_id",
+    )
+    stream = rows(q_streaming_recrawl_priority_events(spark, sf), "user_id")
+    assert len(batch) == len(stream) and len(batch) > 0
+    for b, s in zip(batch, stream):
+        assert b == s, f"batch/stream divergence: {b} vs {s}"
+
+
+def test_streaming_decayed_churn_state_carries(spark, tmp_path):
+    """Two-micro-batch replay (maxFilesPerTrigger=1) must equal the
+    one-batch replay: the per-key (fingerprint, ts, sums) state carries
+    across the batch boundary and the within-batch cumprod recurrence
+    composes with the carried sums."""
+    import datetime
+    import os as _os
+
+    from intervalaverage_spark.streaming.churn_stream import (
+        streaming_decayed_churn,
+    )
+    from tests.test_round7 import _run_available_now
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    schema = "user_id long, ts timestamp, props string"
+    f1 = spark.createDataFrame(
+        [(1, ts(0), "A"), (1, ts(1), "A"), (2, ts(0), "X"), (1, ts(2), "B")],
+        schema)
+    f2 = spark.createDataFrame(
+        [(1, ts(3), "B"), (1, ts(4), "A"), (2, ts(5), "Y")], schema)
+    d = str(tmp_path / "snap")
+    f1.coalesce(1).write.mode("overwrite").parquet(d)
+    first = {f for f in _os.listdir(d) if f.endswith(".parquet")}
+    f2.coalesce(1).write.mode("append").parquet(d)
+    second = {f for f in _os.listdir(d) if f.endswith(".parquet")} - first
+    for f in first:
+        _os.utime(_os.path.join(d, f), (1700000000, 1700000000))
+    for f in second:
+        _os.utime(_os.path.join(d, f), (1700000100, 1700000100))
+
+    def run(src, name):
+        _run_available_now(
+            streaming_decayed_churn(src, "user_id", "ts", "props",
+                                    half_life_secs=3600),
+            name,
+        )
+        # latest running total per key (monotone in n_snapshots)
+        out = {}
+        for r in spark.table(name).collect():
+            cur = out.get(r["key"])
+            if cur is None or r["n_snapshots"] > cur["n_snapshots"]:
+                out[r["key"]] = r
+        return {
+            k: (r["n_snapshots"], round(r["decayed_changes"], 9),
+                round(r["decayed_visit_mass"], 9), r["last_ts_sec"])
+            for k, r in out.items()
+        }
+
+    two = run(
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+        .parquet(d),
+        "t_churn_two_batches",
+    )
+    one = run(
+        spark.readStream.schema(f1.schema).parquet(d),
+        "t_churn_one_batch",
+    )
+    assert two == one
+    # hand check key 1 at hl=1h: revisits at h1 (unchanged), h2 (chg),
+    # h3 (unchanged), h4 (chg); weights at anchor h4: 2^-3, 2^-2, 2^-1, 1
+    n, dc, dv, _ = two[1]
+    assert n == 5
+    assert abs(dc - (0.25 + 1.0)) < 1e-9
+    assert abs(dv - (0.125 + 0.25 + 0.5 + 1.0)) < 1e-9
