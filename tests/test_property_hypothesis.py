@@ -248,3 +248,104 @@ def test_repetition_stats_invariants(spark, texts):
         assert 0.0 <= r["dup_line_frac"] <= 1.0
         assert 0.0 <= r["dup_2gram_frac"] <= 1.0
         assert r["top_2gram_char_frac"] >= 0.0
+
+
+# ------------------------------------------------ round-7 second wave
+
+words = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "xy", "q1"]),
+             min_size=0, max_size=12),
+    min_size=1, max_size=12,
+)
+
+
+@SET
+@given(docs=words, budget=st.integers(1, 9))
+def test_pack_sequences_vs_python(spark, docs, budget):
+    """pack_sequences against a pure-python prefix-sum reference:
+    offsets, spans and boundary flags for arbitrary (incl. empty) docs
+    and tiny budgets; fill stats conserve the token stream."""
+    from pyspark.sql import functions as F
+    from intervalaverage_spark.functions.packing import (
+        pack_sequences,
+        sequence_fill_stats,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": range(len(docs)),
+        "text": [" ".join(d) for d in docs],
+    })
+    df = spark.createDataFrame(pdf)
+    got = {r["doc_id"]: r for r in
+           pack_sequences(df, budget=budget).collect()}
+    off = 0
+    total = 0
+    for i, d in enumerate(docs):
+        n = len(d)
+        start, end = off, off + n
+        sf_ = start // budget
+        sl_ = max(end - 1, start) // budget
+        r = got[i]
+        assert (r["n_tokens"], r["start_offset"], r["seq_first"],
+                r["seq_last"], r["crosses_boundary"]) == (
+            n, start, sf_, sl_, sl_ > sf_)
+        off = end
+        total += n
+    fill = sequence_fill_stats(df, budget=budget)
+    agg = fill.agg(F.sum("n_tokens"), F.max("fill_fraction")).first()
+    assert (agg[0] or 0) == total
+    assert agg[1] is None or agg[1] <= 1.0
+
+
+snapshots = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 1000),
+              st.sampled_from(["p", "q", "r"])),
+    min_size=1, max_size=30,
+)
+
+
+@SET
+@given(snaps=snapshots, hl=st.integers(10, 5000))
+def test_recrawl_priority_bounds_and_reference(spark, snaps, hl):
+    """recrawl_priority against a pure-python reference: decayed sums,
+    rate in [0,1], weights bounded by revisit count; ties ordered
+    (ts, fingerprint) exactly like the operator."""
+    import datetime
+    import hashlib
+
+    from intervalaverage_spark.functions.churn import recrawl_priority
+
+    t0 = datetime.datetime(2024, 1, 1)
+    pdf = pd.DataFrame({
+        "k": [k for k, _, _ in snaps],
+        "ts": [t0 + datetime.timedelta(seconds=s) for _, s, _ in snaps],
+        "p": [p for _, _, p in snaps],
+    })
+    out = {r["k"]: r for r in
+           recrawl_priority(spark.createDataFrame(pdf), "k", "ts", "p",
+                            half_life_secs=hl).collect()}
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    fp = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    as_of = max(t for _, t, _ in snaps) + base
+    ref = {}
+    for k in {k for k, _, _ in snaps}:
+        rows_ = sorted(((t + base, fp(p)) for kk, t, p in snaps if kk == k),
+                       key=lambda x: (x[0], x[1]))
+        if len(rows_) < 2:
+            assert k not in out
+            continue
+        dc = dv = 0.0
+        for (pt, pf), (t, f) in zip(rows_, rows_[1:]):
+            w = 2.0 ** (-(as_of - t) / hl)
+            dv += w
+            if f != pf:
+                dc += w
+        ref[k] = (len(rows_), round(dc, 6), round(dv, 6),
+                  as_of - rows_[-1][0])
+    assert set(out) == set(ref)
+    for k, (n, dc, dv, since) in ref.items():
+        r = out[k]
+        assert r["n_snapshots"] == n and r["secs_since_last"] == since
+        assert abs(r["decayed_changes"] - dc) <= 2e-6
+        assert abs(r["decayed_visit_mass"] - dv) <= 2e-6
+        assert 0.0 <= r["decayed_change_rate"] <= 1.0
