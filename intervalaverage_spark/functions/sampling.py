@@ -120,6 +120,67 @@ def assign_splits(
     return df.select("*", expr.alias(out_col))
 
 
+def leakage_safe_splits(
+    clusters: DataFrame,
+    weights: Mapping[str, float],
+    seed: str = "",
+    canonical_col: str = "canonical_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test splits that near-duplicate clusters cannot
+    straddle: :func:`assign_splits` keyed on the CLUSTER's canonical id
+    instead of the document's own id.
+
+    A doc-keyed split leaks evaluation data through near-duplicates —
+    two 0.9-Jaccard copies of one page land in train and test and the
+    eval score measures memorization of the duplicate, not
+    generalization (the contamination mode the dedup literature warns
+    about; see also E42's n-gram decontamination, which guards against
+    a KNOWN benchmark rather than the corpus's own duplicates).
+    Keying the split hash on ``canonical_col`` (the connected-component
+    label from :func:`~intervalaverage_spark.functions.dedup.
+    dedup_clusters`) makes straddling structurally impossible: every
+    member of a component shares the canonical id, hence the hash
+    uniform, hence the split. :func:`split_straddle_pairs` is the audit
+    that proves it (and quantifies the naive split's leakage).
+
+    Scale: the split itself is the same stateless row-local projection
+    as :func:`assign_splits` — zero shuffle beyond what producing the
+    cluster labels already cost; growth-stable (a cluster's split never
+    changes as unrelated docs arrive, and new members of an existing
+    cluster join its split)."""
+    return assign_splits(clusters, weights, [canonical_col],
+                         seed=seed, out_col=out_col)
+
+
+def split_straddle_pairs(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: Sequence[str] = ("id1", "id2"),
+    split_col: str = "split",
+) -> DataFrame:
+    """The leakage audit: near-dup pairs whose endpoints landed in
+    DIFFERENT splits. Empty for :func:`leakage_safe_splits` by
+    construction; non-empty counts are the contamination a doc-keyed
+    split would ship. Returns the offending pairs with both labels.
+
+    Scale: two equi-joins of the pair set (already the small survivor
+    of LSH banding) against a 2-column (id, split) projection — both
+    sides key-partitioned, no window, no state."""
+    a, b = pair_cols
+    lab = splits.select(F.col(id_col).alias("__sid"),
+                        F.col(split_col).alias("__slab"))
+    return (
+        pairs
+        .join(lab.withColumnRenamed("__sid", a)
+                 .withColumnRenamed("__slab", "split_1"), a)
+        .join(lab.withColumnRenamed("__sid", b)
+                 .withColumnRenamed("__slab", "split_2"), b)
+        .filter(F.col("split_1") != F.col("split_2"))
+    )
+
+
 def token_mix_sample(
     df: DataFrame,
     stratum_col: str,

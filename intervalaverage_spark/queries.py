@@ -1785,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- never driver-green: errored in r6 (fixed r7) — must lead ----
         "knn_join_self_embeddings": p["knn_join_self_embeddings"],
         # ---- new in round 7 ----
+        "cluster_split_documents": p["cluster_split_documents"],
         "recrawl_priority_events": p["recrawl_priority_events"],
         "ivf_train_quality_embeddings": p["ivf_train_quality_embeddings"],
         "version_coexistence_events": p["version_coexistence_events"],

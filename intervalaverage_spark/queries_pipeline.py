@@ -447,6 +447,47 @@ JOIN (SELECT canonical_id, COUNT(*) AS cnt FROM comp GROUP BY 1) s
 """
 
 
+def q_cluster_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splits (E54): near-dup clusters from
+    MinHash-LSH + connected components, split keyed on the CLUSTER's
+    canonical id — so no near-duplicate pair can straddle a split
+    boundary — alongside the naive doc-keyed label for contrast. The
+    oracle replays clusters (recursive CTE) and both md5 split
+    decisions; tests/test_round7c.py audits straddle counts (cluster
+    split: always 0; naive: >0 on the planted families)."""
+    from intervalaverage_spark.functions.dedup import dedup_clusters
+    from intervalaverage_spark.functions.sampling import (
+        assign_splits,
+        leakage_safe_splits,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16, bands=4,
+                              threshold=0.5)
+    clusters = dedup_clusters(d.select("doc_id"), pairs)
+    out = leakage_safe_splits(
+        clusters, {"train": 0.9, "val": 0.05, "test": 0.05}, seed="lsplit7")
+    out = assign_splits(out, {"train": 0.9, "val": 0.05, "test": 0.05},
+                        ["doc_id"], seed="lsplit7", out_col="naive_split")
+    return out.select("doc_id", "canonical_id", "cluster_size",
+                      "split", "naive_split")
+
+
+def _cluster_split_sql() -> str:
+    uc = _u_sql("canonical_id", "lsplit7")
+    ud = _u_sql("doc_id", "lsplit7")
+    return f"""
+SELECT doc_id, canonical_id, cluster_size,
+       CASE WHEN {uc} < 0.9 THEN 'train'
+            WHEN {uc} < 0.95 THEN 'val'
+            ELSE 'test' END AS split,
+       CASE WHEN {ud} < 0.9 THEN 'train'
+            WHEN {ud} < 0.95 THEN 'val'
+            ELSE 'test' END AS naive_split
+FROM ({_dedup_clusters_sql()})
+"""
+
+
 def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path of embedding near-dup: SRP-bucket blocking (one
     4-plane band → 16 blocks) so the self-join is per-block instead of
@@ -1676,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
+        "cluster_split_documents": q_cluster_split_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_neardup": q_embedding_neardup,
@@ -1727,6 +1769,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_documents": NGRAM_JACCARD_SQL,
         "minhash_lsh_documents": _minhash_lsh_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
+        "cluster_split_documents": _cluster_split_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,
