@@ -842,6 +842,54 @@ def main() -> None:
         ),
     )
 
+    # 35. bloom build + join-path probe: bounded bit_or fold, broadcast words
+    from intervalaverage_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+        bloom_probe_broadcast,
+        bloom_words_to_array,
+    )
+
+    bfps = docs25.select(F.md5("text").alias("fp"))
+    bwords = bloom_build(bfps, "fp", 1 << 14, 4, seed="pl7")
+    add(
+        "bloom_build + join-path probe (bit_or fold; broadcast word join)",
+        bloom_probe(bfps, "fp", bwords, 1 << 14, 4, seed="pl7"),
+        must=["HashAggregate", "BroadcastHashJoin"],
+        must_not=["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Bloom membership (E55): build folds k md5 bit positions into "
+            "32-bit words via a map-side-combined bit_or groupBy — each "
+            "task emits at most m/32 rows regardless of its input size, so "
+            "the shuffle is FILTER-sized, never corpus-sized. The join-path "
+            "probe meets the word relation in a BroadcastHashJoin on "
+            "word_idx (the relation is ≤ m/32 rows by construction); the "
+            "all-k-bits verdict is a JVM aggregate. Pure integer/bit "
+            "arithmetic end to end — no pandas, no floats."
+        ),
+    )
+
+    # 36. bloom broadcast probe: zero shuffle on the delta
+    bwarr = bloom_words_to_array(bwords, 1 << 14)
+    add(
+        "bloom_probe_broadcast (packed bitset; zero shuffle on the delta)",
+        bloom_probe_broadcast(bfps, "fp", bwarr, 1 << 14, 4, seed="pl7"),
+        must=["ArrowEvalPython"],
+        must_not=["Exchange", "SortMergeJoin", "BroadcastHashJoin",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "The SCALE-path probe: the packed bitset (m/8 bytes) rides a "
+            "Spark broadcast; md5 positions are derived JVM-side (identical "
+            "expressions to the join path) and only the numpy array gather "
+            "runs in the sanctioned Arrow batch. NO Exchange anywhere — the "
+            "delta stream is probed in place at ingest, the property that "
+            "makes the sketch worth its false-positive rate at 100 TB. "
+            "Bit-exact equal to the join path (pytest-pinned, "
+            "tests/test_round7c.py)."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)
@@ -854,10 +902,12 @@ def main() -> None:
         "expressions cannot express; both are Arrow-batched and "
         "numpy-vectorized inside (input_hint: no per-row Python). Since "
         "round 2 the interval_average maxgap is pure JVM window state — "
-        "no pandas anywhere in the relational operators. Round 6 adds ONE "
-        "sanctioned `ArrowEvalPython` site: broadcast-centroid IVF "
-        "assignment (section above), where one GEMM replaces n_cells "
-        "interpreted folds per row.\n"
+        "no pandas anywhere in the relational operators. Two sanctioned "
+        "`ArrowEvalPython` sites: broadcast-centroid IVF assignment (round "
+        "6 — one GEMM replaces n_cells interpreted folds per row) and the "
+        "bloom broadcast-bitset probe (round 7 — one numpy gather per "
+        "Arrow batch, zero shuffle on the delta); both equality-pinned to "
+        "their JVM join-path twins.\n"
         "- Layout scans (plans/layout.py) carry `PartitionFilters` on "
         "(d, p) — asserted in tests/test_layout.py; ANN layouts "
         "(ivf_cell / srp_b0) partition-prune likewise (section above + "

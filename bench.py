@@ -296,6 +296,28 @@ def _bench_dedup_scale(spark) -> tuple[dict, dict, dict, dict]:
                   stop_shingles=stop)[0],
               sink="parquet", path=f"{base}/inc_pairs")
 
+        # Bloom membership (E55): the sketch that SPARES the index probe
+        # above for genuinely-new traffic. Build = one corpus pass folding
+        # into a 2^22-bit bitset (fp theory ~4e-6 at 95k keys, k=6);
+        # probe = the per-snapshot cost, broadcast path, zero shuffle.
+        from intervalaverage_spark.functions.bloom import (
+            bloom_build,
+            bloom_probe_broadcast,
+            bloom_words_to_array,
+        )
+
+        bm, bk = 1 << 22, 6
+        base_fps = base_docs.select(F.md5("text").alias("fp"))
+        delta_fps = delta_docs.select(F.md5("text").alias("fp"))
+        timed(f"bloom_build_{n_docs // 1000}k_corpus",
+              lambda: bloom_build(base_fps, "fp", bm, bk, seed="bb7"),
+              sink="parquet", path=f"{base}/bloomw")
+        bloom_arr = bloom_words_to_array(
+            spark.read.parquet(f"{base}/bloomw"), bm)
+        timed(f"bloom_probe_{n_docs // 20000}k_delta",
+              lambda: bloom_probe_broadcast(delta_fps, "fp", bloom_arr,
+                                            bm, bk, seed="bb7"))
+
         # probe id derived from n_vecs (a fixed 12345 crashed with
         # IA_DEDUP_VECS < 12346 — r5 ADVICE); guard the lookup explicitly
         probe_id = n_vecs // 2

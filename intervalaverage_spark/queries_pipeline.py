@@ -488,6 +488,67 @@ FROM ({_dedup_clusters_sql()})
 """
 
 
+#: bloom driver-query parameters — small m so the sf0.01 fixture exercises
+#: real collision pressure (n≈333 distinct member fps → theory fp ≈ 5e-4)
+_BLOOM_M, _BLOOM_K, _BLOOM_SEED = 16384, 4, "bloomq7"
+
+
+def q_bloom_membership_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter corpus membership (E55): build the constant-size
+    bitset over the text fingerprints of a 2/3 'corpus' subset, probe
+    EVERY doc. ``maybe_present=False`` ⟹ definitely-new (the dedup-safe
+    direction); ground truth rides along as ``fp_in_corpus``. The
+    oracle replays the md5 bit positions, the bit_or word fold, and the
+    all-k-bits probe — pure integer arithmetic, so even a false
+    positive reproduces bit-for-bit cross-engine."""
+    from intervalaverage_spark.functions.bloom import bloom_build, bloom_probe
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", F.md5("text").alias("fp")))
+    members = (d.filter(F.col("doc_id") % 3 != 0)
+               .select("fp").distinct())
+    words = bloom_build(members, "fp", _BLOOM_M, _BLOOM_K, seed=_BLOOM_SEED)
+    probed = bloom_probe(d, "fp", words, _BLOOM_M, _BLOOM_K,
+                         seed=_BLOOM_SEED)
+    return (
+        probed.join(members.withColumn("__m", F.lit(True)), "fp", "left")
+        .select("doc_id",
+                F.col("__m").isNotNull().alias("fp_in_corpus"),
+                "maybe_present")
+    )
+
+
+def _bloom_sql() -> str:
+    m, k, seed = _BLOOM_M, _BLOOM_K, _BLOOM_SEED
+
+    def pos(key: str) -> str:
+        return (f"CAST(('0x' || substr(md5(concat_ws(chr(31), '{seed}', "
+                f"CAST(i AS VARCHAR), {key})), 1, 12)) AS BIGINT) % {m}")
+
+    return f"""
+WITH members AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+bpos AS (
+  SELECT {pos('fp')} AS p FROM members, range({k}) t(i)),
+words AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+  FROM bpos GROUP BY 1),
+docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+ppos AS (
+  SELECT doc_id, fp, {pos('fp')} AS p FROM docs, range({k}) t(i)),
+verdict AS (
+  SELECT doc_id, fp,
+         COUNT(*) FILTER (WHERE w.word IS NOT NULL AND
+           (w.word & (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))) <> 0)
+           = {k} AS maybe_present
+  FROM ppos LEFT JOIN words w ON w.word_idx = p // 32
+  GROUP BY doc_id, fp)
+SELECT v.doc_id, (m.fp IS NOT NULL) AS fp_in_corpus, v.maybe_present
+FROM verdict v LEFT JOIN members m ON m.fp = v.fp
+"""
+
+
 def q_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path of embedding near-dup: SRP-bucket blocking (one
     4-plane band → 16 blocks) so the self-join is per-block instead of
@@ -1718,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cluster_split_documents": q_cluster_split_documents,
+        "bloom_membership_documents": q_bloom_membership_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_neardup": q_embedding_neardup,
@@ -1770,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_documents": _minhash_lsh_sql(),
         "dedup_clusters_documents": _dedup_clusters_sql(),
         "cluster_split_documents": _cluster_split_sql(),
+        "bloom_membership_documents": _bloom_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,

@@ -83,3 +83,86 @@ def test_singletons_keep_own_hash(spark, clustered):
     j = out.join(naive, "doc_id").filter(F.col("cluster_size") == 1)
     assert j.filter(F.col("split") != F.col("naive_split")).count() == 0
     assert j.count() == 60 - 10  # 3 + 2 + 5 clustered docs
+
+
+# ------------------------------------------------------ E55: bloom filter
+
+from intervalaverage_spark.functions.bloom import (  # noqa: E402
+    WORD_BITS,
+    bloom_build,
+    bloom_fp_theory,
+    bloom_probe,
+    bloom_probe_broadcast,
+    bloom_words_to_array,
+)
+from intervalaverage_spark.validation import IntervalSchemaError  # noqa: E402
+
+_M, _K = 1 << 13, 4
+
+
+@pytest.fixture(scope="module")
+def bloom_fixture(spark):
+    corpus = (spark.range(900).filter("id % 3 != 0")
+              .select(F.col("id").alias("key")))
+    words = bloom_build(corpus, "key", _M, _K, seed="t7c")
+    allx = spark.range(900).select(F.col("id").alias("key"))
+    return corpus, words, allx
+
+
+def test_bloom_no_false_negatives(spark, bloom_fixture):
+    corpus, words, _ = bloom_fixture
+    out = bloom_probe(corpus, "key", words, _M, _K, seed="t7c")
+    assert out.filter(~F.col("maybe_present")).count() == 0
+
+
+def test_bloom_word_relation_bounded(spark, bloom_fixture):
+    _, words, _ = bloom_fixture
+    stats = words.agg(F.count(F.lit(1)), F.min("word_idx"),
+                      F.max("word_idx")).first()
+    assert stats[0] <= _M // WORD_BITS
+    assert stats[1] >= 0 and stats[2] < _M // WORD_BITS
+
+
+def test_bloom_broadcast_equals_join_path(spark, bloom_fixture):
+    """Bit-exact equality — integer ops leave no rounding freedom, so
+    this is a guarantee, not a fixture observation (contrast the ANN
+    GEMM's fixture-verified float equality)."""
+    _, words, allx = bloom_fixture
+    jp = rows(bloom_probe(allx, "key", words, _M, _K, seed="t7c"), "key")
+    arr = bloom_words_to_array(words, _M)
+    bp = rows(bloom_probe_broadcast(allx, "key", arr, _M, _K, seed="t7c"),
+              "key")
+    assert jp == bp
+
+
+def test_bloom_fp_rate_near_theory(spark):
+    """Deliberately undersized filter so collisions actually happen:
+    measured FP rate on 800 non-members lands in a loose band around
+    the textbook (1-e^{-kn/m})^k."""
+    m, k = 1024, 3
+    corpus = spark.range(100).select(F.col("id").alias("key"))
+    words = bloom_build(corpus, "key", m, k, seed="fp7")
+    probes = (spark.range(100, 900).select(F.col("id").alias("key")))
+    out = bloom_probe(probes, "key", words, m, k, seed="fp7")
+    fps = out.filter(F.col("maybe_present")).count()
+    theory = bloom_fp_theory(100, m, k)
+    assert 0 < fps < 800 * theory * 5 + 10
+    # no false negatives even under collision pressure
+    mem = bloom_probe(corpus, "key", words, m, k, seed="fp7")
+    assert mem.filter(~F.col("maybe_present")).count() == 0
+
+
+def test_bloom_error_contracts(spark, bloom_fixture):
+    corpus, words, _ = bloom_fixture
+    with pytest.raises(IntervalSchemaError):
+        bloom_build(corpus, "key", 100, 4)          # not a word multiple
+    with pytest.raises(IntervalSchemaError):
+        bloom_build(corpus, "key", _M, 0)           # k out of range
+    with pytest.raises(IntervalSchemaError):
+        bloom_build(corpus, "nope", _M, 4)          # missing column
+    arr = bloom_words_to_array(words, _M)
+    with pytest.raises(IntervalSchemaError):        # bitset/m mismatch
+        bloom_probe_broadcast(corpus, "key", arr, _M * 2, _K)
+    with pytest.raises(IntervalSchemaError):        # output column clash
+        probed = bloom_probe(corpus, "key", words, _M, _K, seed="t7c")
+        bloom_probe(probed, "key", words, _M, _K, seed="t7c")
