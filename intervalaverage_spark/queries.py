@@ -1787,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 7 ----
         "cluster_split_documents": p["cluster_split_documents"],
         "bloom_membership_documents": p["bloom_membership_documents"],
+        "crawl_frontier_events": p["crawl_frontier_events"],
         "recrawl_priority_events": p["recrawl_priority_events"],
         "ivf_train_quality_embeddings": p["ivf_train_quality_embeddings"],
         "version_coexistence_events": p["version_coexistence_events"],

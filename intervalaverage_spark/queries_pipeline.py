@@ -1427,6 +1427,45 @@ HAVING count(*) >= 2
 """
 
 
+def q_crawl_frontier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier emission (E56): the scheduler end-to-end — E48's
+    time-decayed change propensity ranks every page, then a per-host
+    POLITENESS cap (cap_per_key, the E33 salted-top-n operator) keeps
+    the top 3 per host so no origin is hammered regardless of how
+    churn-heavy its pages are. Host here is ``user_id % 16`` (the
+    fixture's stand-in for the URL's registrable domain — the synthetic
+    tables carry no URL column; at ingest the real pipeline substitutes
+    the parsed host). Composition of two already-oracled operators; the
+    oracle replays decay, rank, and the md5 tie-break exactly."""
+    from intervalaverage_spark.functions.churn import recrawl_priority
+    from intervalaverage_spark.functions.sampling import cap_per_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pr = recrawl_priority(ev, "user_id", "ts", "props",
+                          half_life_secs=7 * 86400)
+    pr = pr.withColumn("host", F.pmod(F.col("user_id"), F.lit(16)))
+    top = cap_per_key(pr, ["host"], 3, ["user_id"],
+                      order_col="decayed_changes", descending=True,
+                      seed="front7")
+    return top.select("host", "user_id", "decayed_changes",
+                      "decayed_change_rate", "secs_since_last")
+
+
+def _crawl_frontier_sql() -> str:
+    u = _u_sql("user_id", "front7")
+    return f"""
+WITH pr AS ({RECRAWL_PRIORITY_SQL}),
+r AS (
+  SELECT user_id % 16 AS host, user_id, decayed_changes,
+         decayed_change_rate, secs_since_last,
+         row_number() OVER (PARTITION BY user_id % 16
+                            ORDER BY decayed_changes DESC, {u} ASC) AS rn
+  FROM pr)
+SELECT host, user_id, decayed_changes, decayed_change_rate, secs_since_last
+FROM r WHERE rn <= 3
+"""
+
+
 def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (round 7, E49): concat-and-chunk the
     corpus into 512-token sequences — per-doc stream offset, first/last
@@ -1780,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cluster_split_documents": q_cluster_split_documents,
         "bloom_membership_documents": q_bloom_membership_documents,
+        "crawl_frontier_events": q_crawl_frontier_events,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_neardup": q_embedding_neardup,
@@ -1833,6 +1873,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_documents": _dedup_clusters_sql(),
         "cluster_split_documents": _cluster_split_sql(),
         "bloom_membership_documents": _bloom_sql(),
+        "crawl_frontier_events": _crawl_frontier_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,

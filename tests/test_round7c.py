@@ -166,3 +166,44 @@ def test_bloom_error_contracts(spark, bloom_fixture):
     with pytest.raises(IntervalSchemaError):        # output column clash
         probed = bloom_probe(corpus, "key", words, _M, _K, seed="t7c")
         bloom_probe(probed, "key", words, _M, _K, seed="t7c")
+
+
+# ------------------------------------------------ E56: crawl frontier
+
+def test_crawl_frontier_matches_pandas_rerank(spark):
+    """The composed scheduler (recrawl_priority → per-host cap) equals a
+    pandas re-rank of the full priority table with the same
+    (decayed_changes desc, md5-uniform asc) order — so the politeness
+    cap provably keeps the BEST pages per host, not an arbitrary 3."""
+    import hashlib
+
+    import pandas as pd
+
+    from intervalaverage_spark.functions.churn import recrawl_priority
+    from intervalaverage_spark.functions.sampling import cap_per_key
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pr = recrawl_priority(ev, "user_id", "ts", "props",
+                          half_life_secs=7 * 86400)
+    pr = pr.withColumn("host", F.pmod(F.col("user_id"), F.lit(4)))
+    top = cap_per_key(pr, ["host"], 2, ["user_id"],
+                      order_col="decayed_changes", descending=True,
+                      seed="t7f")
+    got = {(r["host"], r["user_id"]) for r in top.collect()}
+
+    full = pr.toPandas()
+
+    def u(uid: int) -> float:
+        h = hashlib.md5(f"t7f\x1f{uid}".encode()).hexdigest()
+        return int(h[:12], 16) / float(1 << 48)
+
+    full["u"] = full["user_id"].map(u)
+    want = set()
+    for host, g in full.groupby("host"):
+        g = g.sort_values(["decayed_changes", "u"],
+                          ascending=[False, True]).head(2)
+        want |= {(host, int(r.user_id)) for r in g.itertuples()}
+    assert got == want
+    # politeness invariant: never more than n per host
+    per_host = pd.Series([h for h, _ in got]).value_counts()
+    assert per_host.max() <= 2
