@@ -890,6 +890,50 @@ def main() -> None:
         ),
     )
 
+    # 37. count-min sketch: bounded counter fold + broadcast-matrix probe
+    from intervalaverage_spark.functions.cms import (
+        cms_build,
+        cms_estimate,
+        cms_estimate_broadcast,
+        cms_to_array,
+    )
+
+    csk = cms_build(bfps, "fp", 1 << 12, 4, seed="pl7c")
+    add(
+        "cms_build + join-path estimate (bounded counter fold)",
+        cms_estimate(bfps, "fp", csk, 1 << 12, 4, seed="pl7c"),
+        must=["HashAggregate", "BroadcastHashJoin"],
+        must_not=["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Count-min sketch (E57): the frequency twin of the Bloom "
+            "filter. Build sums observation weight into depth×width "
+            "counters via a map-side-combined groupBy(row, col) — each "
+            "task emits at most depth·width rows regardless of its input, "
+            "so the shuffle is SKETCH-sized, never stream-sized. The "
+            "estimate meets the counter relation (≤ depth·width rows) in "
+            "a BroadcastHashJoin; the min-over-depth verdict is a JVM "
+            "aggregate. Pure integer arithmetic — estimates never "
+            "undercount, and overcounts replay bit-for-bit in the oracle."
+        ),
+    )
+    add(
+        "cms_estimate_broadcast (counter matrix broadcast; zero shuffle)",
+        cms_estimate_broadcast(bfps, "fp", cms_to_array(csk, 1 << 12, 4),
+                               1 << 12, 4, seed="pl7c"),
+        must=["ArrowEvalPython"],
+        must_not=["Exchange", "SortMergeJoin", "BroadcastHashJoin",
+                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "SCALE-path estimate: the depth×width int64 matrix rides a "
+            "Spark broadcast; md5 positions derive JVM-side and only the "
+            "numpy gather+row-min runs in the sanctioned Arrow batch. NO "
+            "Exchange — per-key frequency estimates at ingest without "
+            "touching the vocabulary relation. Bit-exact equal to the "
+            "join path (pytest-pinned, tests/test_round7c.py)."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)
@@ -905,8 +949,9 @@ def main() -> None:
         "no pandas anywhere in the relational operators. Two sanctioned "
         "`ArrowEvalPython` sites: broadcast-centroid IVF assignment (round "
         "6 — one GEMM replaces n_cells interpreted folds per row) and the "
-        "bloom broadcast-bitset probe (round 7 — one numpy gather per "
-        "Arrow batch, zero shuffle on the delta); both equality-pinned to "
+        "sketch probes (round 7 — bloom broadcast-bitset membership and "
+        "count-min broadcast-matrix estimation: one numpy gather per "
+        "Arrow batch, zero shuffle on the delta); all equality-pinned to "
         "their JVM join-path twins.\n"
         "- Layout scans (plans/layout.py) carry `PartitionFilters` on "
         "(d, p) — asserted in tests/test_layout.py; ANN layouts "

@@ -318,6 +318,24 @@ def _bench_dedup_scale(spark) -> tuple[dict, dict, dict, dict]:
               lambda: bloom_probe_broadcast(delta_fps, "fp", bloom_arr,
                                             bm, bk, seed="bb7"))
 
+        # count-min sketch (E57): per-key frequency estimates at ingest
+        # — same triage economics as the Bloom probe, counting instead
+        # of membership (width 2^16 × depth 4 = 2 MiB of counters).
+        from intervalaverage_spark.functions.cms import (
+            cms_build,
+            cms_estimate_broadcast,
+            cms_to_array,
+        )
+
+        cw, cd = 1 << 16, 4
+        timed(f"cms_build_{n_docs // 1000}k_corpus",
+              lambda: cms_build(base_fps, "fp", cw, cd, seed="cm7"),
+              sink="parquet", path=f"{base}/cmsw")
+        cms_arr = cms_to_array(spark.read.parquet(f"{base}/cmsw"), cw, cd)
+        timed(f"cms_estimate_{n_docs // 20000}k_delta",
+              lambda: cms_estimate_broadcast(delta_fps, "fp", cms_arr,
+                                             cw, cd, seed="cm7"))
+
         # probe id derived from n_vecs (a fixed 12345 crashed with
         # IA_DEDUP_VECS < 12346 — r5 ADVICE); guard the lookup explicitly
         probe_id = n_vecs // 2

@@ -1788,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split_documents": p["cluster_split_documents"],
         "bloom_membership_documents": p["bloom_membership_documents"],
         "crawl_frontier_events": p["crawl_frontier_events"],
+        "cms_term_counts_documents": p["cms_term_counts_documents"],
         "recrawl_priority_events": p["recrawl_priority_events"],
         "ivf_train_quality_embeddings": p["ivf_train_quality_embeddings"],
         "version_coexistence_events": p["version_coexistence_events"],

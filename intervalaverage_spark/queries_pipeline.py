@@ -1584,6 +1584,63 @@ FROM j WHERE rnk <= 20
 """
 
 
+#: cms driver-query parameters — width far below the fixture vocabulary
+#: (31 distinct terms at sf0.01) so counter collisions actually occur and
+#: the overcounts replay cross-engine
+_CMS_W, _CMS_D, _CMS_SEED = 16, 4, "cms7"
+
+
+def q_cms_term_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (E57): estimated vs exact collection frequency
+    for the top-50 terms. The sketch builds from the pre-aggregated
+    (term, cf) relation via ``weight_col`` — identical counters to
+    re-exploding the token stream, for a fraction of the work — and the
+    estimate is the min over depth=4 counters: never below ``cf``, and
+    the width is deliberately tiny (16 ≪ vocabulary) so real collisions
+    land in the output and the oracle must replay the OVERcounts
+    bit-for-bit too. Top-50 selection is a TakeOrderedAndProject
+    (total order with the term tie-break), not a global window."""
+    from intervalaverage_spark.functions.cms import cms_build, cms_estimate
+    from intervalaverage_spark.functions.textstats import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cf = (docs.select(F.explode(tokens(F.lower(F.col("text"))))
+                      .alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("cf")))
+    sketch = cms_build(cf, "term", _CMS_W, _CMS_D, seed=_CMS_SEED,
+                       weight_col="cf")
+    est = cms_estimate(cf, "term", sketch, _CMS_W, _CMS_D, seed=_CMS_SEED)
+    return (est.orderBy(F.col("cf").desc(), F.col("term").asc())
+            .limit(50)
+            .select("term", "cf", "cms_est"))
+
+
+def _cms_sql() -> str:
+    w, d, seed = _CMS_W, _CMS_D, _CMS_SEED
+    return rf"""
+WITH tk AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+cf AS (SELECT term, count(*) AS cf FROM tk GROUP BY term),
+pos AS (
+  SELECT term, cf, i AS row,
+         CAST(('0x' || substr(md5(concat_ws(chr(31), '{seed}',
+           CAST(i AS VARCHAR), term)), 1, 12)) AS BIGINT) % {w} AS col
+  FROM cf, range({d}) t(i)),
+cms AS (SELECT row, col, SUM(cf) AS cnt FROM pos GROUP BY 1, 2),
+est AS (
+  SELECT p.term, CAST(min(c.cnt) AS BIGINT) AS cms_est
+  FROM pos p JOIN cms c ON c.row = p.row AND c.col = p.col
+  GROUP BY p.term),
+ranked AS (
+  SELECT term, cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rn
+  FROM cf)
+SELECT r.term, r.cf, e.cms_est
+FROM ranked r JOIN est e USING (term) WHERE rn <= 50
+"""
+
+
 def q_ivf_train_quality_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1820,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split_documents": q_cluster_split_documents,
         "bloom_membership_documents": q_bloom_membership_documents,
         "crawl_frontier_events": q_crawl_frontier_events,
+        "cms_term_counts_documents": q_cms_term_counts_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_neardup": q_embedding_neardup,
@@ -1874,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_split_documents": _cluster_split_sql(),
         "bloom_membership_documents": _bloom_sql(),
         "crawl_frontier_events": _crawl_frontier_sql(),
+        "cms_term_counts_documents": _cms_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,

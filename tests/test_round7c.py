@@ -207,3 +207,98 @@ def test_crawl_frontier_matches_pandas_rerank(spark):
     # politeness invariant: never more than n per host
     per_host = pd.Series([h for h, _ in got]).value_counts()
     assert per_host.max() <= 2
+
+
+# ------------------------------------------------ E57: count-min sketch
+
+from intervalaverage_spark.functions.cms import (  # noqa: E402
+    cms_build,
+    cms_error_theory,
+    cms_estimate,
+    cms_estimate_broadcast,
+    cms_to_array,
+)
+
+_CW, _CD = 64, 4
+
+
+@pytest.fixture(scope="module")
+def cms_fixture(spark):
+    """Skewed stream: ~5700 observations over 200 distinct keys with a
+    heavy head (key j appears ~200/(j+1) times) — 200 keys ≫ 64
+    counters per row, so collisions are guaranteed."""
+    stream = (spark.range(200)
+              .select(F.col("id").alias("key"),
+                      (200 / (F.col("id") + 1)).cast("int").alias("n"))
+              .select("key", F.explode(F.sequence(F.lit(1), F.col("n"))))
+              .select("key"))
+    exact = stream.groupBy("key").agg(F.count(F.lit(1)).alias("true_cf"))
+    sketch = cms_build(stream, "key", _CW, _CD, seed="cm7")
+    return stream, exact, sketch
+
+
+def test_cms_never_undercounts(spark, cms_fixture):
+    _, exact, sketch = cms_fixture
+    est = cms_estimate(exact, "key", sketch, _CW, _CD, seed="cm7")
+    assert est.filter(F.col("cms_est") < F.col("true_cf")).count() == 0
+    # and collisions DID happen (the fixture is over capacity)
+    assert est.filter(F.col("cms_est") > F.col("true_cf")).count() > 0
+
+
+def test_cms_relation_bounded(spark, cms_fixture):
+    _, _, sketch = cms_fixture
+    s = sketch.agg(F.count(F.lit(1)), F.min("row"), F.max("row"),
+                   F.min("col"), F.max("col")).first()
+    assert s[0] <= _CW * _CD
+    assert s[1] == 0 and s[2] == _CD - 1
+    assert s[3] >= 0 and s[4] < _CW
+
+
+def test_cms_weighted_build_equals_stream_build(spark, cms_fixture):
+    """Building from the pre-aggregated (key, count) relation with
+    weight_col gives the IDENTICAL sketch as the raw stream — what the
+    driver query exploits to skip the second explode."""
+    _, exact, sketch = cms_fixture
+    from_agg = cms_build(exact, "key", _CW, _CD, seed="cm7",
+                         weight_col="true_cf")
+    assert rows(sketch, "row", "col") == rows(from_agg, "row", "col")
+
+
+def test_cms_broadcast_equals_join_path(spark, cms_fixture):
+    _, exact, sketch = cms_fixture
+    jp = rows(cms_estimate(exact, "key", sketch, _CW, _CD, seed="cm7"),
+              "key")
+    arr = cms_to_array(sketch, _CW, _CD)
+    bp = rows(cms_estimate_broadcast(exact, "key", arr, _CW, _CD,
+                                     seed="cm7"), "key")
+    assert jp == bp
+
+
+def test_cms_overcount_within_theory(spark, cms_fixture):
+    """Every estimate's overcount stays under the eps*N ceiling (the
+    PER-ROW Markov bound holds in expectation; the min over depth=4
+    rows makes exceeding it on this fixed fixture astronomically
+    unlikely — and the fixture is deterministic, so this is a pinned
+    observation, not a flaky sample)."""
+    stream, exact, sketch = cms_fixture
+    n_total = stream.count()
+    ceiling, _ = cms_error_theory(n_total, _CW, _CD)
+    est = cms_estimate(exact, "key", sketch, _CW, _CD, seed="cm7")
+    worst = est.agg(
+        F.max(F.col("cms_est") - F.col("true_cf"))).first()[0]
+    assert worst <= ceiling
+
+
+def test_cms_error_contracts(spark, cms_fixture):
+    _, exact, sketch = cms_fixture
+    with pytest.raises(IntervalSchemaError):
+        cms_build(exact, "key", 1, 4)                # width too small
+    with pytest.raises(IntervalSchemaError):
+        cms_build(exact, "key", _CW, 0)              # depth out of range
+    with pytest.raises(IntervalSchemaError):
+        cms_build(exact, "nope", _CW, _CD)           # missing key column
+    with pytest.raises(IntervalSchemaError):
+        cms_build(exact, "key", _CW, _CD, weight_col="nope")
+    arr = cms_to_array(sketch, _CW, _CD)
+    with pytest.raises(IntervalSchemaError):         # matrix shape mismatch
+        cms_estimate_broadcast(exact, "key", arr, _CW * 2, _CD)
