@@ -934,6 +934,31 @@ def main() -> None:
         ),
     )
 
+    # 39. hyperloglog: register fold + bounded estimate, all JVM
+    from intervalaverage_spark.functions.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    add(
+        "hll_registers + estimate (bounded register fold, all JVM)",
+        hll_estimate(hll_registers(bfps, "fp", 9, seed="pl7h"), 9),
+        must=["HashAggregate", "hashpartitioning("],
+        must_not=["SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas", "Window"],
+        note=(
+            "HyperLogLog (E58), the cardinality member of the sketch trio: "
+            "register selection and leading-zero ranks are integer md5/bin "
+            "expressions in the scan stage; the groupBy(reg).max(rank) "
+            "fold combines map-side, so the shuffle carries at most 2^b "
+            "rows per task whatever the input; the estimate aggregates "
+            "those ≤ 2^b rows. No joins, no pandas, no window — distinct "
+            "counting at 100 TB costs one sketch-sized exchange, and "
+            "register relations merge across shards with the same fold "
+            "(mergeability pytest-pinned, tests/test_round7c.py)."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)

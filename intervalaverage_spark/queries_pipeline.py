@@ -1641,6 +1641,86 @@ FROM ranked r JOIN est e USING (term) WHERE rn <= 50
 """
 
 
+def q_hll_cardinality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counting (E58), BOTH estimator regimes in
+    one result: per-language distinct-term sketches at b=6 (true counts
+    ≈ 31 ≪ 2.5·64 — the linear-counting fallback) and a doc-fingerprint
+    sketch at b=4 (500 ≫ 2.5·16 — the raw α·m²/Z path). Exact
+    ``n_true`` rides along. The oracle replays register selection,
+    integer bin-length ranks, the dyadic-exact 2^−M sum and the single
+    fixed-order final expression — hash-exact even though the estimate
+    is a float."""
+    from intervalaverage_spark.functions.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+    from intervalaverage_spark.functions.textstats import tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = d.select("lang", F.explode(tokens(F.lower(F.col("text"))))
+                     .alias("term"))
+    est_l = hll_estimate(
+        hll_registers(terms, "term", 6, seed="hll7", group_cols=["lang"]),
+        6, group_cols=["lang"])
+    true_l = terms.groupBy("lang").agg(
+        F.countDistinct("term").alias("n_true"))
+    part1 = (true_l.join(est_l, "lang")
+             .select(F.concat(F.lit("terms_"), F.col("lang"))
+                     .alias("sketch"), "n_true", "hll_est"))
+    fps = d.select(F.md5("text").alias("fp"))
+    est_f = hll_estimate(hll_registers(fps, "fp", 4, seed="hll7"), 4)
+    part2 = (fps.agg(F.countDistinct("fp").alias("n_true"))
+             .crossJoin(est_f)
+             .select(F.lit("doc_fps").alias("sketch"), "n_true", "hll_est"))
+    return part1.unionByName(part2)
+
+
+def _hll_sql() -> str:
+    def sketch(keys_cte: str, key: str, group: str, b: int,
+               alpha: float) -> str:
+        m = 1 << b
+        width = 48 - b
+        g_sel = f"{group}, " if group else ""
+        g_by = f"GROUP BY {group}" if group else ""
+        return f"""
+  SELECT {g_sel}reg, MAX(rank) AS max_rank FROM (
+    SELECT {g_sel}h % {m} AS reg,
+           CASE WHEN h // {m} = 0 THEN {width + 1}
+                ELSE {width} - length(bin(h // {m})) + 1 END AS rank
+    FROM (SELECT {g_sel}CAST(('0x' || substr(md5(concat_ws(chr(31),
+           'hll7', {key})), 1, 12)) AS BIGINT) AS h FROM {keys_cte})
+  ) GROUP BY {g_sel}reg"""
+
+    def estimate(b: int, alpha: float) -> tuple[str, str]:
+        m = 1 << b
+        z = f"(SUM(power(2.0, -max_rank)) + ({m} - COUNT(*)))"
+        v = f"({m} - COUNT(*))"
+        raw = f"({alpha * m * m!r} / {z})"
+        return (f"ROUND(CASE WHEN {raw} < {2.5 * m} AND {v} > 0 "
+                f"THEN {m}.0 * ln({m}.0 / {v}) ELSE {raw} END, 6)"), v
+
+    e6, _ = estimate(6, 0.709)
+    e4, _ = estimate(4, 0.673)
+    return rf"""
+WITH tk AS (
+  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS term
+  FROM documents),
+regs_l AS ({sketch('tk', 'term', 'lang', 6, 0.709)}),
+est_l AS (SELECT lang, {e6} AS hll_est FROM regs_l GROUP BY lang),
+true_l AS (SELECT lang, COUNT(DISTINCT term) AS n_true FROM tk GROUP BY lang),
+fp AS (SELECT md5(text) AS fp FROM documents),
+regs_f AS ({sketch('fp', 'fp', '', 4, 0.673)}),
+est_f AS (SELECT {e4} AS hll_est FROM regs_f),
+true_f AS (SELECT COUNT(DISTINCT fp) AS n_true FROM fp)
+SELECT 'terms_' || t.lang AS sketch, t.n_true, e.hll_est
+FROM true_l t JOIN est_l e USING (lang)
+UNION ALL
+SELECT 'doc_fps' AS sketch, true_f.n_true, est_f.hll_est
+FROM true_f, est_f
+"""
+
+
 def q_ivf_train_quality_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1878,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership_documents": q_bloom_membership_documents,
         "crawl_frontier_events": q_crawl_frontier_events,
         "cms_term_counts_documents": q_cms_term_counts_documents,
+        "hll_cardinality_documents": q_hll_cardinality_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_neardup": q_embedding_neardup,
@@ -1933,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership_documents": _bloom_sql(),
         "crawl_frontier_events": _crawl_frontier_sql(),
         "cms_term_counts_documents": _cms_sql(),
+        "hll_cardinality_documents": _hll_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,

@@ -302,3 +302,89 @@ def test_cms_error_contracts(spark, cms_fixture):
     arr = cms_to_array(sketch, _CW, _CD)
     with pytest.raises(IntervalSchemaError):         # matrix shape mismatch
         cms_estimate_broadcast(exact, "key", arr, _CW * 2, _CD)
+
+
+# ------------------------------------------------ E58: hyperloglog
+
+from intervalaverage_spark.functions.hll import (  # noqa: E402
+    hll_error_theory,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+_HB = 9  # 512 registers
+
+
+@pytest.fixture(scope="module")
+def hll_fixture(spark):
+    """50k observations over 20k distinct keys (each key 2-3 times)."""
+    keys = spark.range(50000).select((F.col("id") % 20000).alias("k"))
+    return keys, hll_registers(keys, "k", _HB, seed="h7t")
+
+
+def test_hll_registers_bounded(spark, hll_fixture):
+    _, regs = hll_fixture
+    s = regs.agg(F.count(F.lit(1)), F.min("reg"), F.max("reg"),
+                 F.min("max_rank")).first()
+    assert s[0] <= 1 << _HB
+    assert s[1] >= 0 and s[2] < (1 << _HB) and s[3] >= 1
+
+
+def test_hll_duplicate_invariance(spark, hll_fixture):
+    """The sketch of the raw stream equals the sketch of its distinct
+    keys — max() idempotence, the property that makes the fold safe to
+    run BEFORE dedup."""
+    keys, regs = hll_fixture
+    dedup = hll_registers(keys.distinct(), "k", _HB, seed="h7t")
+    assert rows(regs, "reg") == rows(dedup, "reg")
+
+
+def test_hll_merge_equals_whole(spark, hll_fixture):
+    keys, regs = hll_fixture
+    h1 = hll_registers(keys.filter("k < 7000"), "k", _HB, seed="h7t")
+    h2 = hll_registers(keys.filter("k >= 7000"), "k", _HB, seed="h7t")
+    assert rows(hll_merge(h1, h2), "reg") == rows(regs, "reg")
+
+
+def test_hll_estimate_within_three_se(spark, hll_fixture):
+    """Deterministic fixture, pinned observation: the 20k-distinct
+    estimate lands within 3 standard errors (observed ~1.9% vs the
+    4.6% SE at m=512)."""
+    _, regs = hll_fixture
+    est = hll_estimate(regs, _HB).first()[0]
+    assert abs(est - 20000) / 20000 <= 3 * hll_error_theory(_HB)
+
+
+def test_hll_linear_counting_small_cardinality(spark):
+    """47 distinct keys in 512 registers: the linear-counting fallback
+    fires and is near-exact at this occupancy."""
+    keys = spark.range(47).select(F.col("id").alias("k"))
+    est = hll_estimate(hll_registers(keys, "k", _HB, seed="h7s"),
+                       _HB).first()[0]
+    assert abs(est - 47) <= 3
+
+
+def test_hll_grouped_sketches_independent(spark):
+    """group_cols: each group's estimate sees only its own keys."""
+    df = (spark.range(3000)
+          .select((F.col("id") % 3).alias("g"),
+                  F.col("id").alias("k")))
+    regs = hll_registers(df, "k", _HB, seed="h7g", group_cols=["g"])
+    out = {r["g"]: r["hll_est"]
+           for r in hll_estimate(regs, _HB, group_cols=["g"]).collect()}
+    assert set(out) == {0, 1, 2}
+    for g, est in out.items():
+        assert abs(est - 1000) / 1000 <= 3 * hll_error_theory(_HB)
+
+
+def test_hll_error_contracts(spark, hll_fixture):
+    keys, _ = hll_fixture
+    with pytest.raises(IntervalSchemaError):
+        hll_registers(keys, "k", 3)                  # b out of range
+    with pytest.raises(IntervalSchemaError):
+        hll_registers(keys, "k", 17)
+    with pytest.raises(IntervalSchemaError):
+        hll_registers(keys, "nope", _HB)             # missing column
+    with pytest.raises(IntervalSchemaError):
+        hll_registers(keys, "k", _HB, group_cols=["nope"])
