@@ -336,6 +336,17 @@ def _bench_dedup_scale(spark) -> tuple[dict, dict, dict, dict]:
               lambda: cms_estimate_broadcast(delta_fps, "fp", cms_arr,
                                              cw, cd, seed="cm7"))
 
+        # hyperloglog (E58): distinct-count sketch over the same corpus
+        # fingerprints — one sketch-sized exchange, no countDistinct.
+        from intervalaverage_spark.functions.hll import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        timed(f"hll_sketch_{n_docs // 1000}k_corpus",
+              lambda: hll_estimate(
+                  hll_registers(base_fps, "fp", 12, seed="hl7"), 12))
+
         # probe id derived from n_vecs (a fixed 12345 crashed with
         # IA_DEDUP_VECS < 12346 — r5 ADVICE); guard the lookup explicitly
         probe_id = n_vecs // 2
