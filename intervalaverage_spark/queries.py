@@ -1790,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_events": p["crawl_frontier_events"],
         "cms_term_counts_documents": p["cms_term_counts_documents"],
         "hll_cardinality_documents": p["hll_cardinality_documents"],
+        "streaming_hll_documents": p["streaming_hll_documents"],
         "recrawl_priority_events": p["recrawl_priority_events"],
         "ivf_train_quality_embeddings": p["ivf_train_quality_embeddings"],
         "version_coexistence_events": p["version_coexistence_events"],

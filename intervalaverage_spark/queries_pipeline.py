@@ -1675,14 +1675,11 @@ def q_hll_cardinality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part1.unionByName(part2)
 
 
-def _hll_sql() -> str:
-    def sketch(keys_cte: str, key: str, group: str, b: int,
-               alpha: float) -> str:
-        m = 1 << b
-        width = 48 - b
-        g_sel = f"{group}, " if group else ""
-        g_by = f"GROUP BY {group}" if group else ""
-        return f"""
+def _hll_sketch_sql(keys_cte: str, key: str, group: str, b: int) -> str:
+    m = 1 << b
+    width = 48 - b
+    g_sel = f"{group}, " if group else ""
+    return f"""
   SELECT {g_sel}reg, MAX(rank) AS max_rank FROM (
     SELECT {g_sel}h % {m} AS reg,
            CASE WHEN h // {m} = 0 THEN {width + 1}
@@ -1691,16 +1688,23 @@ def _hll_sql() -> str:
            'hll7', {key})), 1, 12)) AS BIGINT) AS h FROM {keys_cte})
   ) GROUP BY {g_sel}reg"""
 
-    def estimate(b: int, alpha: float) -> tuple[str, str]:
-        m = 1 << b
-        z = f"(SUM(power(2.0, -max_rank)) + ({m} - COUNT(*)))"
-        v = f"({m} - COUNT(*))"
-        raw = f"({alpha * m * m!r} / {z})"
-        return (f"ROUND(CASE WHEN {raw} < {2.5 * m} AND {v} > 0 "
-                f"THEN {m}.0 * ln({m}.0 / {v}) ELSE {raw} END, 6)"), v
 
-    e6, _ = estimate(6, 0.709)
-    e4, _ = estimate(4, 0.673)
+def _hll_estimate_sql(b: int, alpha: float) -> str:
+    m = 1 << b
+    z = f"(SUM(power(2.0, -max_rank)) + ({m} - COUNT(*)))"
+    v = f"({m} - COUNT(*))"
+    raw = f"({alpha * m * m!r} / {z})"
+    return (f"ROUND(CASE WHEN {raw} < {2.5 * m} AND {v} > 0 "
+            f"THEN {m}.0 * ln({m}.0 / {v}) ELSE {raw} END, 6)")
+
+
+def _hll_sql() -> str:
+    def sketch(keys_cte: str, key: str, group: str, b: int,
+               alpha: float) -> str:
+        return _hll_sketch_sql(keys_cte, key, group, b)
+
+    e6 = _hll_estimate_sql(6, 0.709)
+    e4 = _hll_estimate_sql(4, 0.673)
     return rf"""
 WITH tk AS (
   SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -1718,6 +1722,59 @@ FROM true_l t JOIN est_l e USING (lang)
 UNION ALL
 SELECT 'doc_fps' AS sketch, true_f.n_true, est_f.hll_est
 FROM true_f, est_f
+"""
+
+
+def q_streaming_hll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL (E59): doc-fingerprint registers maintained by a
+    NATIVE streaming aggregation — ``groupBy(reg).max(rank)`` against
+    the state store, state bounded at 2^b rows however long the stream
+    runs, no watermark (max never expires), no custom state operator.
+    availableNow replay of the documents table; the final registers
+    feed the batch estimator. Oracle = the BATCH sketch SQL over the
+    same rows — max is order- and batching-insensitive, so stream must
+    equal batch exactly."""
+    from intervalaverage_spark.functions.hll import hll_estimate
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_hll_registers,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(F.md5("text").alias("fp"))
+    )
+    regs = streaming_hll_registers(src, "fp", 6, seed="hll7")
+    name = "q_streaming_hll_documents"
+    q = (
+        regs.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_hll: availableNow query did not finish within "
+            "300s; refusing to compare a truncated sink"
+        )
+    q.stop()
+    est = hll_estimate(spark.table(name), 6)
+    n_true = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .agg(F.countDistinct(F.md5("text")).alias("n_true")))
+    return (n_true.crossJoin(est)
+            .select(F.lit("doc_fps_stream").alias("sketch"),
+                    "n_true", "hll_est"))
+
+
+def _streaming_hll_sql() -> str:
+    e6 = _hll_estimate_sql(6, 0.709)
+    return f"""
+WITH fp AS (SELECT md5(text) AS fp FROM documents),
+regs AS ({_hll_sketch_sql('fp', 'fp', '', 6)}),
+est AS (SELECT {e6} AS hll_est FROM regs),
+tru AS (SELECT COUNT(DISTINCT fp) AS n_true FROM fp)
+SELECT 'doc_fps_stream' AS sketch, tru.n_true, est.hll_est FROM tru, est
 """
 
 
@@ -1959,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_events": q_crawl_frontier_events,
         "cms_term_counts_documents": q_cms_term_counts_documents,
         "hll_cardinality_documents": q_hll_cardinality_documents,
+        "streaming_hll_documents": q_streaming_hll_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_neardup": q_embedding_neardup,
@@ -2015,6 +2073,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier_events": _crawl_frontier_sql(),
         "cms_term_counts_documents": _cms_sql(),
         "hll_cardinality_documents": _hll_sql(),
+        # the streamed register fold must equal the batch sketch — max is
+        # order/batching-insensitive, so the oracle is the batch SQL
+        "streaming_hll_documents": _streaming_hll_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,

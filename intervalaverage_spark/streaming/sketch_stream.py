@@ -1,0 +1,48 @@
+"""Streaming sketch maintenance: HLL registers as a native streaming agg.
+
+The cardinality sketch (functions/hll.py) is EXACTLY the shape
+Structured Streaming's stateful aggregation wants: the register fold
+``groupBy(reg).max(rank)`` is an associative, idempotent aggregate
+whose state is bounded at ``2^b`` rows NO MATTER HOW LONG THE STREAM
+RUNS — no watermark needed (nothing ever expires; max only grows), no
+custom ``applyInPandasWithState`` (contrast churn_stream.py, whose
+EWMA recurrence genuinely needs custom state). "How many distinct
+URLs/fingerprints has this crawl EVER seen?" becomes a 64-to-65536-row
+state-store entry updated at ingest.
+
+Spark-first by construction: the JVM state store maintains the per-
+register max across micro-batches; Catalyst plans the same map-side
+partial fold as the batch operator, so each micro-batch ships at most
+``2^b`` rows to state. ``outputMode("complete")`` re-emits the full
+(tiny) register table per batch — the right mode for a relation whose
+size is a constant.
+
+Equality contract: after an ``availableNow`` replay of a bounded
+source, the emitted registers are IDENTICAL to the batch
+:func:`~intervalaverage_spark.functions.hll.hll_registers` fold over
+the same rows (max is order- and batching-insensitive) — pinned in
+tests/test_round7c.py and by the driver oracle, which replays the
+BATCH sketch SQL against the streamed result.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.functions.hll import _check, hll_rank
+
+
+def streaming_hll_registers(
+    stream_df: DataFrame,
+    key_col: str,
+    b: int,
+    seed: str = "",
+) -> DataFrame:
+    """Streaming register fold: the same md5/bin integer expressions as
+    the batch operator, grouped into the state-store-backed max. Use
+    with ``outputMode("complete")`` — state ≤ 2^b rows by construction
+    (same ``b`` bounds as the batch fold)."""
+    _check(b)
+    reg, rank = hll_rank(F.col(key_col), b, seed)
+    return (stream_df.select(reg.alias("reg"), rank.alias("rank"))
+            .groupBy("reg")
+            .agg(F.max("rank").alias("max_rank")))

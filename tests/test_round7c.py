@@ -388,3 +388,73 @@ def test_hll_error_contracts(spark, hll_fixture):
         hll_registers(keys, "nope", _HB)             # missing column
     with pytest.raises(IntervalSchemaError):
         hll_registers(keys, "k", _HB, group_cols=["nope"])
+
+
+# ------------------------------------------------ E59: streaming hll
+
+def test_streaming_hll_equals_batch_across_microbatches(spark, tmp_path):
+    """Three parquet files streamed one per micro-batch
+    (maxFilesPerTrigger=1): the complete-mode register table after the
+    availableNow replay equals the batch fold over the union — the
+    state store carried per-register max across batches."""
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_hll_registers,
+    )
+
+    src_dir = str(tmp_path / "keys")
+    for i in range(3):
+        (spark.range(i * 400, (i + 1) * 400)
+         .select(F.col("id").alias("k"))
+         .coalesce(1).write.mode("append").parquet(src_dir))
+    batch = spark.read.parquet(src_dir)
+    want = rows(hll_registers(batch, "k", _HB, seed="sh7"), "reg")
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir)
+              .select("k"))
+    name = "t_stream_hll_regs"
+    q = (streaming_hll_registers(stream, "k", _HB, seed="sh7")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    # complete mode: at least 2 micro-batches actually ran
+    assert q.lastProgress["batchId"] >= 1
+    got = rows(spark.table(name), "reg")
+    assert got == want
+    # state bounded by register count, not stream length
+    assert len(got) <= 1 << _HB
+
+
+def test_streaming_hll_estimate_equals_batch(spark, tmp_path):
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_hll_registers,
+    )
+
+    src_dir = str(tmp_path / "keys2")
+    (spark.range(5000).select(F.col("id").alias("k"))
+     .coalesce(2).write.parquet(src_dir))
+    batch = spark.read.parquet(src_dir)
+    want = hll_estimate(
+        hll_registers(batch, "k", _HB, seed="sh7e"), _HB).first()[0]
+
+    stream = (spark.readStream.schema(batch.schema).parquet(src_dir)
+              .select("k"))
+    name = "t_stream_hll_est"
+    q = (streaming_hll_registers(stream, "k", _HB, seed="sh7e")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    got = hll_estimate(spark.table(name), _HB).first()[0]
+    assert got == want
+
+
+def test_streaming_hll_rejects_bad_b(spark):
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_hll_registers,
+    )
+
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(IntervalSchemaError):
+        streaming_hll_registers(df, "k", 2)
