@@ -349,3 +349,108 @@ def test_recrawl_priority_bounds_and_reference(spark, snaps, hl):
         assert abs(r["decayed_changes"] - dc) <= 2e-6
         assert abs(r["decayed_visit_mass"] - dv) <= 2e-6
         assert 0.0 <= r["decayed_change_rate"] <= 1.0
+
+
+# ------------------------------------------------ round-7 sketch family
+
+key_sets = st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                    unique=True)
+
+
+@SET
+@given(members=key_sets, probes=key_sets,
+       m_words=st.sampled_from([2, 8, 32]), k=st.integers(1, 6))
+def test_bloom_no_false_negatives_property(spark, members, probes,
+                                           m_words, k):
+    """NO false negatives, for arbitrary member/probe sets and filter
+    geometry down to a 64-bit filter — the structural guarantee dedup
+    safety rests on. Verified against a pure-python md5 replay."""
+    import hashlib
+
+    from intervalaverage_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m_bits = m_words * 32
+    mdf = spark.createDataFrame(pd.DataFrame({"key": members}))
+    words = bloom_build(mdf, "key", m_bits, k, seed="hyp")
+    pdf_ = spark.createDataFrame(pd.DataFrame({"key": probes}))
+    got = {r["key"]: r["maybe_present"]
+           for r in bloom_probe(pdf_, "key", words, m_bits, k,
+                                seed="hyp").collect()}
+
+    def positions(key: int) -> set[int]:
+        return {
+            int(hashlib.md5(f"hyp\x1f{i}\x1f{key}".encode())
+                .hexdigest()[:12], 16) % m_bits
+            for i in range(k)
+        }
+
+    bits = set().union(*(positions(x) for x in members))
+    for p in probes:
+        want = positions(p) <= bits
+        assert got[p] == want          # exact: not just no-FN, bit-replay
+        if p in members:
+            assert got[p] is True
+
+
+weighted_streams = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(1, 30)),
+    min_size=1, max_size=40,
+)
+
+
+@SET
+@given(obs=weighted_streams, width=st.sampled_from([4, 16, 64]),
+       depth=st.integers(1, 5))
+def test_cms_never_undercounts_property(spark, obs, width, depth):
+    """est ≥ true for arbitrary weighted streams and sketch geometry
+    down to 4 counters per row (heavy forced collisions)."""
+    from collections import Counter
+
+    from intervalaverage_spark.functions.cms import cms_build, cms_estimate
+
+    true = Counter()
+    for key, w in obs:
+        true[key] += w
+    stream = spark.createDataFrame(
+        pd.DataFrame({"key": [k for k, _ in obs],
+                      "w": [w for _, w in obs]}))
+    sketch = cms_build(stream, "key", width, depth, seed="hyp",
+                       weight_col="w")
+    keys = spark.createDataFrame(pd.DataFrame({"key": list(true)}))
+    got = {r["key"]: r["cms_est"]
+           for r in cms_estimate(keys, "key", sketch, width, depth,
+                                 seed="hyp").collect()}
+    total = sum(true.values())
+    for key, t in true.items():
+        assert t <= got[key] <= total
+
+
+@SET
+@given(keys=key_sets, pivot=st.integers(0, 10_000),
+       b=st.sampled_from([4, 7, 10]))
+def test_hll_merge_property(spark, keys, pivot, b):
+    """Register-wise merge of ANY two-way split equals the whole-set
+    sketch, and duplicating observations changes nothing."""
+    from intervalaverage_spark.functions.hll import (
+        hll_merge,
+        hll_registers,
+    )
+
+    whole = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    dup = whole.unionByName(whole)          # idempotence under dups
+    want = sorted((r["reg"], r["max_rank"]) for r in
+                  hll_registers(dup, "k", b, seed="hyp").collect())
+    lo = [x for x in keys if x < pivot] or keys[:1]
+    hi = [x for x in keys if x >= pivot] or keys[:1]
+    h1 = hll_registers(
+        spark.createDataFrame(pd.DataFrame({"k": lo})), "k", b, seed="hyp")
+    h2 = hll_registers(
+        spark.createDataFrame(pd.DataFrame({"k": hi})), "k", b, seed="hyp")
+    got = sorted((r["reg"], r["max_rank"]) for r in
+                 hll_merge(h1, h2).collect())
+    # the split may double-cover keys[:1]; max absorbs duplicates, and
+    # union-of-splits covers exactly the key set, so merged == whole
+    assert got == want
