@@ -137,9 +137,13 @@ def hll_estimate(
     _check(b)
     m = 1 << b
     gc = list(group_cols or [])
+    # coalesce: a GLOBAL agg over an empty register relation still emits
+    # one row with SUM = NULL — an empty sketch must estimate 0 (all m
+    # registers empty → linear counting gives m·ln(m/m) = 0), not NULL
     agg = (registers.groupBy(*gc)
-           .agg(F.sum(F.pow(F.lit(2.0), -F.col("max_rank")))
-                .alias("__z_occ"),
+           .agg(F.coalesce(
+                    F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))),
+                    F.lit(0.0)).alias("__z_occ"),
                 F.count(F.lit(1)).alias("__n_occ")))
     v = F.lit(m) - F.col("__n_occ")                      # empty registers
     z = F.col("__z_occ") + v.cast("double")              # each empty = 2^0

@@ -458,3 +458,13 @@ def test_streaming_hll_rejects_bad_b(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(IntervalSchemaError):
         streaming_hll_registers(df, "k", 2)
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    """An empty stream sketches to zero distinct, not NULL: all m
+    registers empty → linear counting gives m*ln(m/m) = 0 (regression
+    for the SUM-over-nothing NULL edge in the global aggregate)."""
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    regs = hll_registers(empty, "k", _HB, seed="h7z")
+    assert regs.count() == 0
+    assert hll_estimate(regs, _HB).first()[0] == 0.0
