@@ -181,6 +181,60 @@ def split_straddle_pairs(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_cols: Sequence[str],
+    group_cols: Sequence[str] | None = None,
+    seed: str = "",
+    pri_out: str = "sample_priority",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministically: keep
+    the ``k`` rows (per group) with the largest Efraimidis–Spirakis
+    priority ``u^(1/w)`` — selection probability rises with weight
+    (exactly weight-proportional for the argmax), the standard
+    one-pass weighted reservoir scheme, here with the reservoir
+    replaced by a distributed top-k.
+
+    "Sample documents proportional to quality score / token count" —
+    the curation step between the uniform cap (:func:`cap_per_key`)
+    and the exact stratified budget (:func:`token_mix_sample`).
+
+    Determinism & cross-engine: ``u`` is the same :func:`md5_uniform`
+    as every other selection decision; the priority is rounded to 6 dp
+    (so a ≤1-ulp ``pow`` divergence between engines cannot reorder)
+    and ties break on the hash uniform — the kept set is a pure
+    function of (seed, ids, weights). Rows with weight ≤ 0 or NULL are
+    excluded (a zero-weight row must never be sampled).
+
+    Scale: priority is a stateless row-local projection; the top-k is
+    :func:`cap_per_key`'s one window (its salted hot-key path applies
+    when a group skews). No RNG state, no reservoir to shepherd across
+    partitions — retries and re-runs select identically."""
+    if k < 1:
+        raise IntervalSchemaError(f"k must be >= 1, got {k}")
+    if weight_col not in df.columns:
+        raise IntervalSchemaError(f"missing column {weight_col!r}")
+    if pri_out in df.columns:
+        raise IntervalSchemaError(f"output column {pri_out!r} already exists")
+    gc = list(group_cols or [])
+    u = md5_uniform(id_cols, seed)
+    pri = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 6)
+    pool = (df.filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0))
+            .select("*", pri.alias(pri_out)))
+    if not gc:
+        # single global group: same plan via a constant key, dropped after
+        pool = pool.select("*", F.lit(1).alias("__ws_g"))
+        out = cap_per_key(pool, ["__ws_g"], k, id_cols,
+                          order_col=pri_out, descending=True, seed=seed)
+        return out.drop("__ws_g")
+    return cap_per_key(pool, gc, k, id_cols,
+                       order_col=pri_out, descending=True, seed=seed)
+
+
 def token_mix_sample(
     df: DataFrame,
     stratum_col: str,

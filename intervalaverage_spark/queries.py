@@ -1791,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts_documents": p["cms_term_counts_documents"],
         "hll_cardinality_documents": p["hll_cardinality_documents"],
         "streaming_hll_documents": p["streaming_hll_documents"],
+        "weighted_sample_documents": p["weighted_sample_documents"],
         "recrawl_priority_events": p["recrawl_priority_events"],
         "ivf_train_quality_embeddings": p["ivf_train_quality_embeddings"],
         "version_coexistence_events": p["version_coexistence_events"],

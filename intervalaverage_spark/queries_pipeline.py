@@ -447,6 +447,35 @@ JOIN (SELECT canonical_id, COUNT(*) AS cnt FROM comp GROUP BY 1) s
 """
 
 
+def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (E60): per language, the
+    20 docs with the largest Efraimidis–Spirakis priority u^(1/n_chars)
+    — selection probability rises with document length. The oracle
+    replays the md5 uniform, the 6-dp-rounded pow, and the
+    (priority desc, uniform asc) rank exactly."""
+    from intervalaverage_spark.functions.sampling import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_sample(d, 20, "n_chars", ["doc_id"],
+                          group_cols=["lang"], seed="ws7")
+    return out.select("lang", "doc_id", "n_chars", "sample_priority")
+
+
+def _weighted_sample_sql() -> str:
+    u = _u_sql("doc_id", "ws7")
+    return f"""
+WITH p AS (
+  SELECT lang, doc_id, n_chars,
+         ROUND(pow({u}, 1.0 / CAST(n_chars AS DOUBLE)), 6) AS sample_priority
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+             ORDER BY sample_priority DESC, {u} ASC) AS rn
+  FROM p)
+SELECT lang, doc_id, n_chars, sample_priority FROM r WHERE rn <= 20
+"""
+
+
 def q_cluster_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test splits (E54): near-dup clusters from
     MinHash-LSH + connected components, split keyed on the CLUSTER's
@@ -2017,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts_documents": q_cms_term_counts_documents,
         "hll_cardinality_documents": q_hll_cardinality_documents,
         "streaming_hll_documents": q_streaming_hll_documents,
+        "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_neardup": q_embedding_neardup,
@@ -2076,6 +2106,7 @@ def oracle_sql() -> dict[str, str]:
         # the streamed register fold must equal the batch sketch — max is
         # order/batching-insensitive, so the oracle is the batch SQL
         "streaming_hll_documents": _streaming_hll_sql(),
+        "weighted_sample_documents": _weighted_sample_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),
         "embedding_neardup": EMBEDDING_NEARDUP_SQL,

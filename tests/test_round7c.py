@@ -468,3 +468,74 @@ def test_hll_empty_input_estimates_zero(spark):
     regs = hll_registers(empty, "k", _HB, seed="h7z")
     assert regs.count() == 0
     assert hll_estimate(regs, _HB).first()[0] == 0.0
+
+
+# ------------------------------------------------ E60: weighted sampling
+
+from intervalaverage_spark.functions.sampling import weighted_sample  # noqa: E402
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    """Exact replication against a pure-python A-Res reference:
+    md5 uniform → round(pow(u, 1/w), 6) → (priority desc, u asc)
+    top-k per group."""
+    import hashlib
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "g": [i % 3 for i in range(120)],
+        "i": range(120),
+        "w": [(i * 7) % 23 + 1 for i in range(120)],
+    })
+    got = {(r["g"], r["i"]) for r in
+           weighted_sample(spark.createDataFrame(pdf), 4, "w", ["i"],
+                           group_cols=["g"], seed="wsr").collect()}
+
+    def u(i: int) -> float:
+        h = hashlib.md5(f"wsr\x1f{i}".encode()).hexdigest()
+        return int(h[:12], 16) / float(1 << 48)
+
+    want = set()
+    for g, grp in pdf.groupby("g"):
+        pri = [(round(u(r.i) ** (1.0 / r.w), 6), -u(r.i), r.i)
+               for r in grp.itertuples()]
+        pri.sort(key=lambda t: (t[0], t[1]), reverse=True)
+        want |= {(g, i) for _, _, i in pri[:4]}
+    assert got == want
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Deterministic fixture, pinned observation: the sampled rows'
+    mean weight exceeds the population mean (the point of weighting)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"i": range(400),
+                        "w": [(i % 20) + 1 for i in range(400)]})
+    df = spark.createDataFrame(pdf)
+    out = weighted_sample(df, 40, "w", ["i"], seed="wsb").toPandas()
+    assert len(out) == 40
+    assert out["w"].mean() > pdf["w"].mean() * 1.2
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"i": range(30),
+                        "w": [0 if i < 10 else (None if i < 20 else 5)
+                              for i in range(30)]})
+    out = weighted_sample(spark.createDataFrame(pdf), 30, "w", ["i"],
+                          seed="wsz").toPandas()
+    assert set(out["i"]) == set(range(20, 30))
+
+
+def test_weighted_sample_error_contracts(spark):
+    df = spark.range(5).select(F.col("id").alias("i"),
+                               F.lit(1.0).alias("w"))
+    with pytest.raises(IntervalSchemaError):
+        weighted_sample(df, 0, "w", ["i"])
+    with pytest.raises(IntervalSchemaError):
+        weighted_sample(df, 1, "nope", ["i"])
+    with pytest.raises(IntervalSchemaError):
+        weighted_sample(df.withColumn("sample_priority", F.lit(1.0)),
+                        1, "w", ["i"])
