@@ -959,6 +959,58 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.functions.quantiles import (
+        hist_quantiles,
+        hist_registers,
+    )
+
+    ev_h = spark.read.parquet(f"{sf}/events.parquet")
+    hsk = hist_registers(ev_h, "value", 0.0, 1024.0, 512,
+                         group_cols=["event_type"])
+    add(
+        "hist_registers + quantiles (bounded bin fold, all JVM)",
+        hist_quantiles(hsk, [0.5, 0.95, 0.99], 0.0, 1024.0, 512,
+                       group_cols=["event_type"]),
+        must=["HashAggregate", "hashpartitioning(", "Window"],
+        must_not=["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Histogram-quantile sketch (E61), the distribution member of "
+            "the sketch family: binning is one float expression in the "
+            "scan stage; the groupBy(bin).count() fold combines map-side, "
+            "so the shuffle carries at most `bins` rows per task whatever "
+            "the input; the cumulative walk and interpolation are a "
+            "window + fold over those ≤ groups × bins rows. No joins, no "
+            "pandas — percentiles at 100 TB cost one sketch-sized "
+            "exchange, and bin relations merge across shards by integer "
+            "sum (mergeability pytest-pinned, tests/test_round7d.py). The "
+            "flagship query adds a broadcast join only for the exact-"
+            "percentile ride-along, audited separately by its driver row."
+        ),
+    )
+
+    from intervalaverage_spark.operators.coalesce import interval_gaps
+
+    add(
+        "interval_gaps (coalesce's window minus its aggregate)",
+        interval_gaps(q.orders_x(spark, f"{sf}"), ("s", "e"), ["custkey"],
+                      sort=False),
+        must=["Window", "Filter"],
+        must_not=["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas", "HashAggregate"],
+        note=(
+            "Interval gaps (E62): one exchange on the key partitioning, "
+            "one sorted window scan for the running max end, then a "
+            "filter — the island-break rows ARE the gap rows, so the "
+            "complement of coalesce needs no aggregate at all (and no "
+            "join: contrast an anti-join formulation, which would shuffle "
+            "twice). Per-key cost is one scan; the tiling property "
+            "against coalesce is pytest-pinned (tests/test_round7d.py)."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)

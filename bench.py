@@ -181,6 +181,11 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         "recrawl_priority_events",
         "sequence_fill_documents",
         "top_terms_documents",
+        # round-7 fourth wave: histogram-quantile sketch (E61 — ≤512-row
+        # bin fold + exact-percentile ride-along) and interval gaps
+        # (E62 — coalesce's window minus its aggregate)
+        "hist_quantiles_events",
+        "interval_gaps_orders",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")

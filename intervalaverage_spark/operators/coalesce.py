@@ -94,3 +94,64 @@ def interval_coalesce(
         *gv, s_col.alias(out_s), e_col.alias(out_e), "n_intervals", "covered"
     )
     return out.orderBy(*gv, out_s) if sort else out
+
+
+def interval_gaps(
+    x: DataFrame,
+    interval_vars: Sequence[str],
+    group_vars: Sequence[str] = (),
+    interval_vars_out: tuple[str, str] = ("gap_start", "gap_end"),
+    min_gap: int = 1,
+    sort: bool = True,
+) -> DataFrame:
+    """Maximal uncovered runs INSIDE each key's interval span — the
+    complement of :func:`interval_coalesce` within ``[min start,
+    max end]`` per key (leading/trailing uncovered time has no
+    domain to be measured against, so it is by definition not a gap).
+
+    Output: ``(*group_vars, gap_start, gap_end, gap_len)`` — one row
+    per uncovered run of at least ``min_gap`` points (closed integer
+    intervals: the gap between [1,3] and [7,9] is [4,6], length 3).
+    DATE intervals coerce/restore like every operator. Together with
+    coalesce the result tiles the span: islands ∪ gaps partition
+    ``[min start, max end]`` exactly (pytest-pinned).
+
+    Same plan as coalesce MINUS the aggregate: one window over the
+    key partitioning, then a filter — a gap exists exactly where a
+    row starts beyond the running max end of everything before it,
+    so the gap rows are the island-break rows themselves. No join,
+    no second shuffle; per-key cost is one sorted scan (the same
+    shape the reference's users would need `isolateoverlaps` + R
+    post-processing for — here it is one pass).
+
+    Typical timeseries-tier uses: sensor-coverage holes ("which
+    hours have no readings?"), retention-ledger audit (uncovered
+    time between checkpointed tiers), crawl-snapshot staleness runs.
+    """
+    iv, gv = list(interval_vars), list(group_vars)
+    out_s, out_e = interval_vars_out
+    is_date = check_schema(x, iv, gv, reserved_ok=True)
+    if min_gap < 1:
+        raise ValueError(f"min_gap must be >= 1, got {min_gap}")
+    xp = _prep(x, iv, "__s", "__e", gv, is_date)
+
+    w = Window.partitionBy(*gv).orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    g = xp.select(
+        *gv,
+        (prev_max_end + 1).alias("__gs"),
+        (F.col("__s") - 1).alias("__ge"),
+    ).where(
+        F.col("__gs").isNotNull()
+        & (F.col("__ge") - F.col("__gs") + 1 >= min_gap)
+    )
+    s_col, e_col = F.col("__gs"), F.col("__ge")
+    if is_date:
+        s_col, e_col = _from_int_days(s_col), _from_int_days(e_col)
+    out = g.select(
+        *gv,
+        s_col.alias(out_s),
+        e_col.alias(out_e),
+        (F.col("__ge") - F.col("__gs") + 1).alias("gap_len"),
+    )
+    return out.orderBy(*gv, out_s) if sort else out

@@ -33,7 +33,7 @@ from intervalaverage_spark.operators.analytics import (
     rolling,
     windowed_percentiles,
 )
-from intervalaverage_spark.operators.coalesce import interval_coalesce
+from intervalaverage_spark.operators.coalesce import interval_coalesce, interval_gaps
 from intervalaverage_spark.operators.downsample import m4_cascade, m4_downsample
 from intervalaverage_spark.operators.fill import interpolate_linear, locf, nocb
 from intervalaverage_spark.operators.isolate import isolate_overlaps
@@ -1743,6 +1743,29 @@ SELECT y.suppkey, GREATEST(l.s, y.ws) AS start, LEAST(l.e, y.we) AS "end",
 FROM y JOIN lraw l ON l.suppkey = y.suppkey AND l.e >= y.ws AND l.s <= y.we
 """
 
+def q_interval_gaps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage HOLES in each customer's order-validity span — the
+    complement of ``coalesce_orders`` (operators/coalesce.py
+    interval_gaps): one window + one filter, no join, no aggregate."""
+    x = orders_x(spark, sf_dir)
+    out = interval_gaps(x, ("s", "e"), ["custkey"], sort=False)
+    return out.select("custkey", "gap_start", "gap_end", "gap_len")
+
+
+INTERVAL_GAPS_ORDERS_SQL = f"""
+WITH {ORDERS_X_SQL},
+w AS (
+  SELECT custkey, s, e,
+         max(e) OVER (PARTITION BY custkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM ox
+)
+SELECT custkey, pme + 1 AS gap_start, s - 1 AS gap_end,
+       CAST(s - 1 - pme AS BIGINT) AS gap_len
+FROM w WHERE pme IS NOT NULL AND s - 1 - pme >= 1
+"""
+
+
 COALESCE_LINEITEM_SQL = f"""
 WITH {LINEITEM_RAW_SQL},
 w AS (
@@ -1784,6 +1807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         # ---- never driver-green: errored in r6 (fixed r7) — must lead ----
         "knn_join_self_embeddings": p["knn_join_self_embeddings"],
+        # ---- new in round 7 (late additions lead — never driver-seen) ----
+        "hist_quantiles_events": p["hist_quantiles_events"],
+        "interval_gaps_orders": q_interval_gaps_orders,
         # ---- new in round 7 ----
         "cluster_split_documents": p["cluster_split_documents"],
         "bloom_membership_documents": p["bloom_membership_documents"],
@@ -1921,6 +1947,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_1h_decomposable": ROLLING_1H_DECOMPOSABLE_SQL,
         "rolling_1h_minmax": ROLLING_1H_MINMAX_SQL,
         "percentiles_daily_events": PERCENTILES_DAILY_SQL,
+        "interval_gaps_orders": INTERVAL_GAPS_ORDERS_SQL,
         "interval_average_lineitem_weekly": _ia_oracle_from(
             LINEITEM_X_SQL, "suppkey", 7, 50.0, sparse=False),
         "interval_intersect_lineitem_weekly": II_LINEITEM_SQL,

@@ -1807,6 +1807,87 @@ SELECT 'doc_fps_stream' AS sketch, tru.n_true, est.hll_est FROM tru, est
 """
 
 
+#: histogram-quantile flagship geometry: events.value spans [0, ~561]
+#: at every shipped scale factor → [0, 1024) × 512 bins = 2-unit width
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 1024.0, 512
+_HQ_QS = [0.5, 0.95, 0.99]
+
+
+def q_hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles (E61,
+    functions/quantiles.py): per-event-type p50/p95/p99 of the metric
+    value from a ≤512-counter sketch, with the EXACT percentile riding
+    along (the same Spark percentile == DuckDB quantile_cont bridge the
+    percentiles_daily query pinned) so the ≤ one-bin-width error is
+    visible in the result itself. The oracle replays binning, the
+    integer cumulative walk, and the single fixed-order interpolation
+    expression — hash-exact even though the estimate is a float."""
+    from intervalaverage_spark.functions.quantiles import (
+        hist_quantiles,
+        hist_registers,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = hist_registers(ev, "value", _HQ_LO, _HQ_HI, _HQ_BINS,
+                        group_cols=["event_type"])
+    est = hist_quantiles(sk, _HQ_QS, _HQ_LO, _HQ_HI, _HQ_BINS,
+                         group_cols=["event_type"])
+    qarr = F.array(*[F.lit(float(q)) for q in _HQ_QS])
+    exact = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.percentile(F.col("value").cast("double"), qarr).alias("ps"))
+        .select("event_type", F.posexplode("ps").alias("pos", "ex"))
+        .select("event_type",
+                F.element_at(qarr, F.col("pos") + 1).alias("q"),
+                F.round("ex", 6).alias("exact_q"))
+    )
+    return (est.join(exact, ["event_type", "q"])
+            .select("event_type", "q", "hist_est", "exact_q", "n_points"))
+
+
+def _hist_quantiles_sql() -> str:
+    lo, hi, bins = _HQ_LO, _HQ_HI, _HQ_BINS
+    width = (hi - lo) / bins
+    qlist = ", ".join(repr(q) for q in _HQ_QS)
+    return f"""
+WITH sk AS (
+  SELECT event_type,
+         LEAST({bins - 1}, GREATEST(0,
+           CAST(floor((CAST(value AS DOUBLE) - {lo!r}) / {width!r})
+                AS BIGINT))) AS bin,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n_points
+  FROM sk),
+cand AS (
+  SELECT c.*, qs.q FROM cum c, (SELECT unnest([{qlist}]) AS q) qs
+  WHERE CAST(c.cum AS DOUBLE) >= qs.q * CAST(c.n_points AS DOUBLE)),
+pick AS (
+  SELECT event_type, q,
+         ROUND({lo!r} + {width!r} * (CAST(bin AS DOUBLE)
+           + (q * CAST(n_points AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+             / CAST(cnt AS DOUBLE)), 6) AS hist_est,
+         CAST(n_points AS BIGINT) AS n_points,
+         row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+  FROM cand),
+ex AS (
+  SELECT event_type, unnest([{qlist}]) AS q,
+         unnest(qv) AS exact_raw
+  FROM (SELECT event_type,
+               quantile_cont(CAST(value AS DOUBLE), [{qlist}]) AS qv
+        FROM events WHERE value IS NOT NULL GROUP BY event_type))
+SELECT p.event_type, p.q, p.hist_est, ROUND(e.exact_raw, 6) AS exact_q,
+       p.n_points
+FROM pick p JOIN ex e ON e.event_type = p.event_type AND e.q = p.q
+WHERE p.rn = 1
+"""
+
+
 def q_ivf_train_quality_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2046,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts_documents": q_cms_term_counts_documents,
         "hll_cardinality_documents": q_hll_cardinality_documents,
         "streaming_hll_documents": q_streaming_hll_documents,
+        "hist_quantiles_events": q_hist_quantiles_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
@@ -2106,6 +2188,7 @@ def oracle_sql() -> dict[str, str]:
         # the streamed register fold must equal the batch sketch — max is
         # order/batching-insensitive, so the oracle is the batch SQL
         "streaming_hll_documents": _streaming_hll_sql(),
+        "hist_quantiles_events": _hist_quantiles_sql(),
         "weighted_sample_documents": _weighted_sample_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),
