@@ -1809,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_self_embeddings": p["knn_join_self_embeddings"],
         # ---- new in round 7 (late additions lead — never driver-seen) ----
         "hist_quantiles_events": p["hist_quantiles_events"],
+        "streaming_hist_quantiles_events":
+            p["streaming_hist_quantiles_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
         # ---- new in round 7 ----
         "cluster_split_documents": p["cluster_split_documents"],

@@ -1888,6 +1888,90 @@ WHERE p.rn = 1
 """
 
 
+def q_streaming_hist_quantiles_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming histogram quantiles (E63): the E61 distribution sketch
+    maintained by a NATIVE streaming aggregation — the same
+    select + groupBy(bin).count fold against the state store, state
+    bounded at event_types × 512 rows however long the stream runs, no
+    watermark (counts only grow), no custom state operator (the E59
+    streaming-HLL pattern applied to the distribution member of the
+    sketch family). availableNow replay of the events table; quantile
+    extraction runs on the emitted registers as a tiny batch step.
+    Oracle = the BATCH sketch SQL over the same rows — counting is
+    order- and batching-insensitive, so stream must equal batch
+    exactly (same hash-exact interpolation bridge as E61)."""
+    from intervalaverage_spark.functions.quantiles import hist_quantiles
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_hist_registers,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_type", "value")
+    )
+    regs = streaming_hist_registers(
+        src, "value", _HQ_LO, _HQ_HI, _HQ_BINS, group_cols=("event_type",)
+    )
+    name = "q_streaming_hist_events"
+    q = (
+        regs.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_hist: availableNow query did not finish within "
+            "300s; refusing to compare a truncated sink"
+        )
+    q.stop()
+    return hist_quantiles(
+        spark.table(name), _HQ_QS, _HQ_LO, _HQ_HI, _HQ_BINS,
+        group_cols=["event_type"],
+    ).select("event_type", "q", "hist_est", "n_points")
+
+
+def _streaming_hist_sql() -> str:
+    # The batch replay of the streamed registers: identical binning,
+    # cumulative walk, and interpolation text as _hist_quantiles_sql,
+    # minus the exact-percentile ride-along (that bridge is E61's row;
+    # this row pins stream == batch on the sketch itself).
+    lo, hi, bins = _HQ_LO, _HQ_HI, _HQ_BINS
+    width = (hi - lo) / bins
+    qlist = ", ".join(repr(q) for q in _HQ_QS)
+    return f"""
+WITH sk AS (
+  SELECT event_type,
+         LEAST({bins - 1}, GREATEST(0,
+           CAST(floor((CAST(value AS DOUBLE) - {lo!r}) / {width!r})
+                AS BIGINT))) AS bin,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n_points
+  FROM sk),
+cand AS (
+  SELECT c.*, qs.q FROM cum c, (SELECT unnest([{qlist}]) AS q) qs
+  WHERE CAST(c.cum AS DOUBLE) >= qs.q * CAST(c.n_points AS DOUBLE)),
+pick AS (
+  SELECT event_type, q,
+         ROUND({lo!r} + {width!r} * (CAST(bin AS DOUBLE)
+           + (q * CAST(n_points AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+             / CAST(cnt AS DOUBLE)), 6) AS hist_est,
+         CAST(n_points AS BIGINT) AS n_points,
+         row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+  FROM cand)
+SELECT event_type, q, hist_est, n_points FROM pick WHERE rn = 1
+"""
+
+
 def q_ivf_train_quality_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2128,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality_documents": q_hll_cardinality_documents,
         "streaming_hll_documents": q_streaming_hll_documents,
         "hist_quantiles_events": q_hist_quantiles_events,
+        "streaming_hist_quantiles_events": q_streaming_hist_quantiles_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
@@ -2189,6 +2274,7 @@ def oracle_sql() -> dict[str, str]:
         # order/batching-insensitive, so the oracle is the batch SQL
         "streaming_hll_documents": _streaming_hll_sql(),
         "hist_quantiles_events": _hist_quantiles_sql(),
+        "streaming_hist_quantiles_events": _streaming_hist_sql(),
         "weighted_sample_documents": _weighted_sample_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),

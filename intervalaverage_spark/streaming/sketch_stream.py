@@ -46,3 +46,39 @@ def streaming_hll_registers(
     return (stream_df.select(reg.alias("reg"), rank.alias("rank"))
             .groupBy("reg")
             .agg(F.max("rank").alias("max_rank")))
+
+
+def streaming_hist_registers(
+    stream_df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming histogram fold (the distribution sketch of
+    functions/quantiles.py maintained at ingest): ``groupBy(bin).count``
+    against the state store — an associative counting aggregate whose
+    state is bounded at groups × ``bins`` rows however long the stream
+    runs; like the HLL fold it needs no watermark (counts only grow)
+    and no custom state operator. "What is p95 ingest latency / doc
+    length RIGHT NOW?" becomes a ≤ bins-row state entry updated per
+    micro-batch; quantile extraction
+    (:func:`~intervalaverage_spark.functions.quantiles.hist_quantiles`)
+    runs on the emitted registers as a tiny batch step.
+
+    Equality contract: after an ``availableNow`` replay of a bounded
+    source, the emitted registers are IDENTICAL to the batch
+    :func:`~intervalaverage_spark.functions.quantiles.hist_registers`
+    fold over the same rows (counting is order- and
+    batching-insensitive). Use with ``outputMode("complete")``.
+
+    The batch fold IS the streaming fold — it is a pure
+    select + groupBy + count, so this wrapper delegates to it verbatim;
+    Catalyst swaps the hash aggregate for the state-store-backed one
+    when the input is a streaming relation."""
+    from intervalaverage_spark.functions.quantiles import hist_registers
+
+    return hist_registers(
+        stream_df, value_col, lo, hi, bins, group_cols=list(group_cols)
+    )

@@ -187,3 +187,78 @@ def test_gaps_date_intervals_round_trip(spark):
 def test_gaps_error_contract(spark, ivx):
     with pytest.raises(ValueError, match="min_gap"):
         interval_gaps(ivx, ("s", "e"), ["k"], min_gap=0)
+
+
+# ------------------------------------------ E63: streaming histogram
+
+def test_streaming_hist_equals_batch_across_microbatches(spark, tmp_path):
+    """Three parquet files streamed one per micro-batch
+    (maxFilesPerTrigger=1): the complete-mode register table after the
+    availableNow replay equals the batch fold over the union — the
+    state store carried per-(group, bin) counts across batches."""
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_hist_registers,
+    )
+
+    src_dir = str(tmp_path / "hvals")
+    for i in range(3):
+        (spark.range(i * 300, (i + 1) * 300)
+         .select((F.col("id") % 2).cast("string").alias("g"),
+                 ((F.col("id") * 37 % 97) + 0.25).alias("v"))
+         .coalesce(1).write.mode("append").parquet(src_dir))
+    batch = spark.read.parquet(src_dir)
+    want = rows(
+        hist_registers(batch, "v", LO, HI, BINS, group_cols=["g"]),
+        "g", "bin")
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    name = "t_stream_hist_regs"
+    q = (streaming_hist_registers(stream, "v", LO, HI, BINS,
+                                  group_cols=("g",))
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    # complete mode: at least 2 micro-batches actually ran
+    assert q.lastProgress["batchId"] >= 1
+    got = rows(spark.table(name), "g", "bin")
+    assert got == want
+    # state bounded by groups × bins, not stream length
+    assert len(got) <= 2 * BINS
+
+
+def test_streaming_hist_quantiles_equal_batch(spark, tmp_path):
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_hist_registers,
+    )
+
+    src_dir = str(tmp_path / "hvals2")
+    (spark.range(2000)
+     .select(((F.col("id") * 13 % 89) + 0.5).alias("v"))
+     .coalesce(2).write.parquet(src_dir))
+    batch = spark.read.parquet(src_dir)
+    want = rows(hist_quantiles(
+        hist_registers(batch, "v", LO, HI, BINS), QS, LO, HI, BINS), "q")
+
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    name = "t_stream_hist_est"
+    q = (streaming_hist_registers(stream, "v", LO, HI, BINS)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    got = rows(hist_quantiles(spark.table(name), QS, LO, HI, BINS), "q")
+    assert got == want
+
+
+def test_streaming_hist_rejects_bad_geometry(spark):
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_hist_registers,
+    )
+
+    df = spark.range(1).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(IntervalSchemaError):
+        streaming_hist_registers(df, "v", 5.0, 5.0, 10)
+    with pytest.raises(IntervalSchemaError):
+        streaming_hist_registers(df, "v", 0.0, 1.0, 1)
