@@ -1011,6 +1011,39 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.functions.retrieval import bm25_topk
+
+    bm_docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bm_qs = spark.createDataFrame(
+        [(1, "hash join order"), (2, "window merge sort")],
+        ["query_id", "query_text"],
+    )
+    add(
+        "bm25_topk (broadcast query-term probe onto postings)",
+        bm25_topk(bm_docs, bm_qs, k=10),
+        must=["BroadcastHashJoin", "WindowGroupLimit", "HashAggregate"],
+        must_not=["CartesianProduct", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "BM25 retrieval (E64): the postings explode collapses to "
+            "(doc × distinct-term) rows via map-side combine before any "
+            "exchange; the query-term set (with df and the 1-row corpus "
+            "stats — the only BroadcastNestedLoopJoin-Cross sites, both "
+            "1-row builds) BROADCASTS onto the postings, so the corpus "
+            "side never shuffles for the match and only (query, "
+            "matching-doc) pairs reach the score aggregation. "
+            "WindowGroupLimit = Spark's top-k pushdown on the rank "
+            "window: each partition keeps k rows before the final "
+            "exchange, never a full per-query sort. Scores fold in "
+            "DECIMAL(18,6) — exact, order-free, cross-engine-replayable. "
+            "At a standing 100 TB index the postings are persisted once "
+            "(bm25_postings → parquet, the minhash-band-index pattern) "
+            "and every probe is a single index-scan job "
+            "(tests/test_round7e.py pins indexed == inline)."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)

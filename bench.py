@@ -186,6 +186,9 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         # (E62 — coalesce's window minus its aggregate)
         "hist_quantiles_events",
         "interval_gaps_orders",
+        # round-7 fifth wave: BM25 retrieval (E64 — postings explode +
+        # broadcast query-term probe + decimal score fold)
+        "bm25_topk_documents",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1811,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_events": p["hist_quantiles_events"],
         "streaming_hist_quantiles_events":
             p["streaming_hist_quantiles_events"],
+        "bm25_topk_documents": p["bm25_topk_documents"],
         "interval_gaps_orders": q_interval_gaps_orders,
         # ---- new in round 7 ----
         "cluster_split_documents": p["cluster_split_documents"],

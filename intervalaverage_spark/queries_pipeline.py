@@ -1972,6 +1972,96 @@ SELECT event_type, q, hist_est, n_points FROM pick WHERE rn = 1
 """
 
 
+#: BM25 probe queries (E64) — deterministic literals over the synthetic
+#: corpus vocabulary; small by construction so the term set broadcasts.
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "hash join order"),
+    (2, "window merge sort"),
+    (3, "stream batch spark"),
+    (4, "table scan dup"),
+)
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+def q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (E64, functions/retrieval.py): top-10
+    documents per probe query. Postings explode collapses to
+    (doc × term) rows map-side; the query-term set (plus df and corpus
+    stats) broadcasts onto the postings so the corpus never shuffles
+    for the match; per-(query, doc) scores sum in DECIMAL(18,6) from
+    6-dp-rounded fixed-order contributions — exact and order-free, so
+    the DuckDB replay is hash-identical including every float."""
+    from intervalaverage_spark.functions.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = spark.createDataFrame(
+        list(_BM25_QUERIES), ["query_id", "query_text"]
+    )
+    out = bm25_topk(
+        docs, qs, k1=_BM25_K1, b=_BM25_B, k=_BM25_K
+    )
+    return out.withColumn("query_id", F.col("query_id").cast("long"))
+
+
+def _bm25_sql() -> str:
+    # Replays tokenisation, postings, Lucene idf, the fixed-order
+    # contribution expression (constants injected via repr on BOTH
+    # sides so each engine folds the identical double literal), the
+    # exact decimal sum, and the (score desc, doc_id asc) rank.
+    k1, b, k = _BM25_K1, _BM25_B, _BM25_K
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return rf"""
+WITH q(query_id, query_text) AS (VALUES {qvals}),
+posts AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents)
+  GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM posts GROUP BY 1),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+           / (SELECT count(*) FROM dl) AS avgdl),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM posts GROUP BY 1),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(query_text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM q),
+qtd AS (
+  SELECT query_id, qt.term AS term, coalesce(df, 0) AS df
+  FROM qt LEFT JOIN dfs ON qt.term = dfs.term),
+m AS (
+  SELECT qtd.query_id AS query_id, p.doc_id AS doc_id,
+         CAST(ROUND(
+           ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+           * ((tf * {k1 + 1.0!r})
+              / (tf + {k1!r} * ({1.0 - b!r}
+                                + {b!r} * (dl / avgdl)))), 6)
+           AS DECIMAL(18,6)) AS w
+  FROM posts p
+  JOIN qtd ON p.term = qtd.term
+  JOIN dl ON p.doc_id = dl.doc_id
+  CROSS JOIN corpus),
+s AS (
+  SELECT query_id, doc_id, SUM(w) AS score_dec,
+         count(*) AS n_terms_hit
+  FROM m GROUP BY 1, 2),
+r AS (
+  SELECT query_id, doc_id, CAST(score_dec AS DOUBLE) AS score,
+         n_terms_hit,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_dec DESC, doc_id ASC) AS rnk
+  FROM s)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+       CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {k}
+"""
+
+
 def q_ivf_train_quality_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2213,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_documents": q_streaming_hll_documents,
         "hist_quantiles_events": q_hist_quantiles_events,
         "streaming_hist_quantiles_events": q_streaming_hist_quantiles_events,
+        "bm25_topk_documents": q_bm25_topk_documents,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
@@ -2275,6 +2366,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hll_documents": _streaming_hll_sql(),
         "hist_quantiles_events": _hist_quantiles_sql(),
         "streaming_hist_quantiles_events": _streaming_hist_sql(),
+        "bm25_topk_documents": _bm25_sql(),
         "weighted_sample_documents": _weighted_sample_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),
