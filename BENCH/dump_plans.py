@@ -1044,6 +1044,31 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.operators.changepoint import cusum
+
+    cp_ev = spark.read.parquet(f"{sf}/events.parquet")
+    add(
+        "cusum (recurrence rewritten as prefix-sum minus running-min)",
+        cusum(cp_ev, "ts", "value", ["event_type"]),
+        must=["Window", "BroadcastHashJoin", "HashAggregate"],
+        must_not=["SortMergeJoin", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "CUSUM changepoints (E65): Page's max-reset recurrence "
+            "telescopes to P_i - min(0, min_{j<=i} P_j), so the detector "
+            "is the per-(key, ts) pre-aggregation (map-side combined), a "
+            "BROADCAST join of the per-key calibration aggregate, and a "
+            "window cascade (running sums, then running mins) sharing ONE "
+            "sort on one exchange — no per-group imperative scan, no "
+            "pandas, no iteration. All accumulators are decimal, so the "
+            "statistics replay hash-exact cross-engine. At 100 TB a hot "
+            "key costs its own series length in one task's sorted scan — "
+            "the same bound as every other window operator here "
+            "(prefix-identity pytest-pinned, tests/test_round7e.py)."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)

@@ -187,8 +187,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         "hist_quantiles_events",
         "interval_gaps_orders",
         # round-7 fifth wave: BM25 retrieval (E64 — postings explode +
-        # broadcast query-term probe + decimal score fold)
+        # broadcast query-term probe + decimal score fold) and CUSUM
+        # changepoints (E65 — one exchange, window cascade)
         "bm25_topk_documents",
+        "cusum_events",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")

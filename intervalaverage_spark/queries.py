@@ -1812,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hist_quantiles_events":
             p["streaming_hist_quantiles_events"],
         "bm25_topk_documents": p["bm25_topk_documents"],
+        "cusum_events": p["cusum_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
         # ---- new in round 7 ----
         "cluster_split_documents": p["cluster_split_documents"],

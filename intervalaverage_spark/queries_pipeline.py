@@ -2062,6 +2062,73 @@ FROM r WHERE rnk <= {k}
 """
 
 
+_CUSUM_KM, _CUSUM_HM = 0.5, 4.0
+
+
+def q_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint alarms (E65, operators/changepoint.py): Page's
+    two-sided statistic per event_type over the per-timestamp mean
+    value series, self-calibrated (kappa = 0.5 sigma, h = 4 sigma). The
+    nonlinear max-reset recurrence is rewritten as prefix-sum minus
+    running-min — two window passes on ONE exchange, no UDF, no
+    iteration — and every accumulated quantity is decimal, so the
+    DuckDB replay is hash-exact including the statistics."""
+    from intervalaverage_spark.operators.changepoint import cusum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum(
+        ev, "ts", "value", ["event_type"],
+        kappa_mult=_CUSUM_KM, h_mult=_CUSUM_HM, alarms_only=True,
+    )
+
+
+def _cusum_sql() -> str:
+    km, hm = _CUSUM_KM, _CUSUM_HM
+    return f"""
+WITH pts AS (
+  SELECT event_type, ts,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+st AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2
+  FROM pts GROUP BY 1),
+cal AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(s1 AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS mu,
+         CAST(ROUND(sqrt(GREATEST(0.0,
+                CAST(s2 AS DOUBLE) / n
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+              * {km!r}, 6) AS DECIMAL(18,6)) AS kappa,
+         CAST(ROUND(sqrt(GREATEST(0.0,
+                CAST(s2 AS DOUBLE) / n
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+              * {hm!r}, 6) AS DECIMAL(18,6)) AS h
+  FROM st),
+run AS (
+  SELECT p.event_type AS event_type, ts, x, mu, kappa, h,
+         SUM(x - mu - kappa) OVER w AS pp,
+         SUM(mu - kappa - x) OVER w AS pn
+  FROM pts p JOIN cal USING (event_type)
+  WINDOW w AS (PARTITION BY p.event_type ORDER BY ts
+               ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT event_type, ts, x, h,
+         pp - LEAST(CAST(0 AS DECIMAL(18,6)), MIN(pp) OVER w) AS sp,
+         pn - LEAST(CAST(0 AS DECIMAL(18,6)), MIN(pn) OVER w) AS sn
+  FROM run
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts
+               ROWS UNBOUNDED PRECEDING))
+SELECT event_type, ts, CAST(x AS DOUBLE) AS x,
+       ROUND(CAST(sp AS DOUBLE), 6) AS s_pos,
+       ROUND(CAST(sn AS DOUBLE), 6) AS s_neg,
+       ROUND(CAST(h AS DOUBLE), 6) AS h,
+       (sp > h OR sn > h) AS alarm
+FROM s WHERE sp > h OR sn > h
+"""
+
+
 def q_ivf_train_quality_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2304,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_events": q_hist_quantiles_events,
         "streaming_hist_quantiles_events": q_streaming_hist_quantiles_events,
         "bm25_topk_documents": q_bm25_topk_documents,
+        "cusum_events": q_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
@@ -2367,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles_events": _hist_quantiles_sql(),
         "streaming_hist_quantiles_events": _streaming_hist_sql(),
         "bm25_topk_documents": _bm25_sql(),
+        "cusum_events": _cusum_sql(),
         "weighted_sample_documents": _weighted_sample_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),

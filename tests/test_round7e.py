@@ -158,3 +158,100 @@ def test_bm25_error_contracts(spark, corpus, probe_queries):
         bm25_topk(corpus, probe_queries, b=1.5)
     with pytest.raises(IntervalSchemaError, match="k must"):
         bm25_topk(corpus, probe_queries, k=0)
+
+
+# ------------------------------------------ E65: CUSUM changepoints
+
+from intervalaverage_spark.operators.changepoint import cusum  # noqa: E402
+
+SHIFT_ROWS = (
+    [("a", t, 10.0 + (t % 3) * 0.5 + (10.0 if t >= 50 else 0.0))
+     for t in range(80)]
+    + [("b", t, 5.0 + (t % 2)) for t in range(80)]
+)
+
+
+def py_cusum(vals, km=0.5, hm=4.0):
+    """Classic max-reset recurrence — the INDEPENDENT code path the
+    prefix-sum/running-min rewrite must reproduce."""
+    n = len(vals)
+    m = sum(vals) / n
+    ex2 = sum(v * v for v in vals) / n
+    sig = max(0.0, ex2 - m * m) ** 0.5
+    mu_r, k_r, h_r = round(m, 6), round(sig * km, 6), round(sig * hm, 6)
+    sp = sn = 0.0
+    res = []
+    for v in vals:
+        x = round(v, 6)
+        sp = max(0.0, sp + (x - mu_r - k_r))
+        sn = max(0.0, sn + (mu_r - k_r - x))
+        res.append((round(sp, 6), round(sn, 6), sp > h_r or sn > h_r))
+    return res
+
+
+@pytest.fixture(scope="module")
+def shifted(spark):
+    return spark.createDataFrame(SHIFT_ROWS, ["k", "t", "v"])
+
+
+def test_cusum_prefix_identity_equals_recurrence(spark, shifted):
+    got = rows(cusum(shifted, "t", "v", ["k"], alarms_only=False),
+               "k", "t")
+    for key in ("a", "b"):
+        vals = [r[2] for r in SHIFT_ROWS if r[0] == key]
+        exp = py_cusum(vals)
+        mine = [(r["s_pos"], r["s_neg"], r["alarm"])
+                for r in got if r["k"] == key]
+        assert len(mine) == len(exp)
+        for (esp, esn, eal), (gsp, gsn, gal) in zip(exp, mine):
+            assert abs(esp - gsp) < 1e-6 and abs(esn - gsn) < 1e-6
+            assert eal == gal
+
+
+def test_cusum_planted_shift_fires_stationary_does_not(spark, shifted):
+    alarms = rows(cusum(shifted, "t", "v", ["k"]), "k", "t")
+    assert any(r["k"] == "a" for r in alarms)
+    assert not any(r["k"] == "b" for r in alarms)
+    assert all(r["alarm"] for r in alarms)
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    df = spark.createDataFrame(
+        [("c", t, 7.5) for t in range(40)], ["k", "t", "v"]
+    )
+    out = rows(cusum(df, "t", "v", ["k"], alarms_only=False), "t")
+    assert len(out) == 40
+    assert all(r["s_pos"] == 0.0 and r["s_neg"] == 0.0 and not r["alarm"]
+               for r in out)
+
+
+def test_cusum_duplicate_ts_collapse_to_mean(spark):
+    dup = spark.createDataFrame(
+        [("d", 1, 4.0), ("d", 1, 6.0), ("d", 2, 5.0), ("d", 3, 5.0)],
+        ["k", "t", "v"],
+    )
+    out = rows(cusum(dup, "t", "v", ["k"], alarms_only=False), "t")
+    assert [r["t"] for r in out] == [1, 2, 3]
+    assert out[0]["x"] == 5.0  # mean of (4, 6)
+
+
+def test_cusum_null_values_excluded(spark):
+    df = spark.createDataFrame(
+        [("e", 1, 3.0), ("e", 2, None), ("e", 3, 3.0)], ["k", "t", "v"]
+    )
+    out = rows(cusum(df, "t", "v", ["k"], alarms_only=False), "t")
+    assert [r["t"] for r in out] == [1, 3]
+
+
+def test_cusum_error_contracts(spark, shifted):
+    with pytest.raises(IntervalSchemaError, match="kappa_mult"):
+        cusum(shifted, "t", "v", ["k"], kappa_mult=-0.1)
+    with pytest.raises(IntervalSchemaError, match="h_mult"):
+        cusum(shifted, "t", "v", ["k"], h_mult=0.0)
+    with pytest.raises(IntervalSchemaError, match="group_vars"):
+        cusum(shifted, "t", "v", [])
+    with pytest.raises(IntervalSchemaError, match="missing column"):
+        cusum(shifted, "t", "nope", ["k"])
+    clash = shifted.withColumn("s_pos", F.lit(1))
+    with pytest.raises(IntervalSchemaError, match="clash"):
+        cusum(clash, "t", "v", ["k"])
