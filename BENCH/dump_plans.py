@@ -1069,6 +1069,28 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.operators.analytics import trend
+
+    add(
+        "trend (closed-form OLS from exact decimal moments)",
+        trend(cp_ev, "ts", "value", ["user_id", "event_type"]),
+        must=["HashAggregate"],
+        must_not=["Window", "CartesianProduct", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Per-key OLS trend (E66): two map-side-combined hash "
+            "aggregations (min-ts, then the five-moment fold over "
+            "per-key-centred time) and one key-equi join between them — "
+            "no window, no sort, no UDF; slope/intercept/r² are each one "
+            "fixed-order float expression over exact decimal sums, so "
+            "the result replays hash-exact cross-engine. At 100 TB each "
+            "key costs one streaming pass over its history; a hot key "
+            "never materialises its series (contrast a window "
+            "formulation, which would sort it)."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)

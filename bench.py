@@ -191,6 +191,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         # changepoints (E65 — one exchange, window cascade)
         "bm25_topk_documents",
         "cusum_events",
+        "trend_events",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")

@@ -580,3 +580,89 @@ def windowed_percentiles(
         *[F.col("__p").getItem(i).alias(n) for i, n in enumerate(names)],
         "n_points",
     )
+
+
+def trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_vars: Sequence[str],
+) -> DataFrame:
+    """Per-key OLS linear trend: slope, intercept, and r² of
+    ``value ~ time`` — "is this series drifting, and how fast".
+
+    Closed-form least squares from five EXACT decimal moments
+    (n, Σt', Σx, Σt'x, Σt'², Σx²) where ``t'`` is seconds since the
+    key's own first observation — centring keeps the decimal products
+    inside DECIMAL(38) and conditions the arithmetic; the final
+    slope/intercept/r² are each ONE fixed-order float expression over
+    those exact sums, 6-dp rounded, so the result replays hash-exact
+    cross-engine (the same decimal-moments discipline as the CUSUM
+    calibration, operators/changepoint.py).
+
+    Returns one row per key: ``(…group_vars, n_points, t0, slope,
+    intercept, r2)`` — ``slope`` in value-units per DAY (per-second
+    slopes round to ±0 at 6 dp; the per-day scale keeps the signal
+    inside the cross-engine 6-dp compare, and the near-zero sign is
+    normalised away — IEEE −0.0 differs between engines' ROUND),
+    ``intercept`` the fitted value at ``t0`` (the key's first
+    timestamp, epoch seconds), ``r2`` NULL for degenerate fits (single
+    point, constant time, or constant value). NULL values are excluded.
+
+    Scale shape: two hash aggregations on the key (min-ts, then the
+    moment fold — both combine map-side) and one broadcast-sized join
+    between them; no window, no sort, no UDF. At 100 TB each key costs
+    one pass however long its history.
+    """
+    if not group_vars:
+        raise IntervalSchemaError("trend: group_vars must be non-empty")
+    for c in (ts_col, value_col, *group_vars):
+        if c not in df.columns:
+            raise IntervalSchemaError(f"trend: missing column {c!r}")
+    g = list(group_vars)
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        *g,
+        F.col(ts_col).cast("timestamp").cast("long").alias("__t"),
+        F.round(F.col(value_col).cast("double"), 6)
+        .cast("decimal(18,6)").alias("__x"),
+    )
+    t0 = pts.groupBy(*g).agg(F.min("__t").alias("t0"))
+    ctr = pts.join(t0, g).select(
+        *g, "t0",
+        (F.col("__t") - F.col("t0")).cast("decimal(12,0)").alias("__u"),
+        "__x",
+    )
+    m = ctr.groupBy(*g).agg(
+        F.max("t0").alias("t0"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("__u").alias("_su"),
+        F.sum("__x").alias("_sx"),
+        F.sum(F.col("__u") * F.col("__x")).alias("_sux"),
+        F.sum(F.col("__u") * F.col("__u")).alias("_suu"),
+        F.sum(F.col("__x") * F.col("__x")).alias("_sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    su = F.col("_su").cast("double")
+    sx = F.col("_sx").cast("double")
+    sux = F.col("_sux").cast("double")
+    suu = F.col("_suu").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    cov_n = n * sux - su * sx      # n² · covariance
+    var_t = n * suu - su * su      # n² · time variance
+    var_x = n * sxx - sx * sx      # n² · value variance
+    slope = F.when(var_t > 0.0, cov_n / var_t)
+    intercept = F.when(
+        var_t > 0.0, (sx - (cov_n / var_t) * su) / n
+    )
+    r2 = F.when(
+        (var_t > 0.0) & (var_x > 0.0),
+        (cov_n * cov_n) / (var_t * var_x),
+    )
+    return m.select(
+        *g,
+        "n_points",
+        "t0",
+        (F.round(slope * 86400.0, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

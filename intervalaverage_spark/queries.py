@@ -1813,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             p["streaming_hist_quantiles_events"],
         "bm25_topk_documents": p["bm25_topk_documents"],
         "cusum_events": p["cusum_events"],
+        "trend_events": p["trend_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
         # ---- new in round 7 ----
         "cluster_split_documents": p["cluster_split_documents"],

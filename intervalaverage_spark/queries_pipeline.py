@@ -2129,6 +2129,66 @@ FROM s WHERE sp > h OR sn > h
 """
 
 
+def q_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) OLS trend (E66,
+    operators/analytics.py trend): slope (value-units/day), intercept
+    at the key's first observation, and r² — closed-form least squares
+    from five exact decimal moments with time centred per key, each
+    final statistic one fixed-order float expression. Two map-side-
+    combined aggregations and one join; no window, no sort, no UDF."""
+    from intervalaverage_spark.operators.analytics import trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return trend(ev, "ts", "value", ["user_id", "event_type"])
+
+
+_TREND_SQL = """
+WITH pts AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL),
+t0 AS (
+  SELECT user_id, event_type, MIN(t) AS t0
+  FROM pts GROUP BY 1, 2),
+ctr AS (
+  SELECT p.user_id AS user_id, p.event_type AS event_type, t0.t0 AS t0,
+         CAST(p.t - t0.t0 AS DECIMAL(12,0)) AS u, x
+  FROM pts p JOIN t0 ON p.user_id = t0.user_id
+                    AND p.event_type = t0.event_type),
+m AS (
+  SELECT user_id, event_type, MAX(t0) AS t0,
+         COUNT(*) AS n_points,
+         SUM(u) AS su, SUM(x) AS sx, SUM(u * x) AS sux,
+         SUM(u * u) AS suu, SUM(x * x) AS sxx
+  FROM ctr GROUP BY 1, 2),
+f AS (
+  SELECT user_id, event_type, n_points, t0,
+         CAST(n_points AS DOUBLE) AS n,
+         CAST(su AS DOUBLE) AS dsu, CAST(sx AS DOUBLE) AS dsx,
+         CAST(sux AS DOUBLE) AS dsux, CAST(suu AS DOUBLE) AS dsuu,
+         CAST(sxx AS DOUBLE) AS dsxx
+  FROM m),
+e AS (
+  SELECT user_id, event_type, n_points, t0,
+         n * dsux - dsu * dsx AS cov_n,
+         n * dsuu - dsu * dsu AS var_t,
+         n * dsxx - dsx * dsx AS var_x,
+         n, dsu, dsx
+  FROM f)
+SELECT user_id, event_type, CAST(n_points AS BIGINT) AS n_points, t0,
+       CASE WHEN var_t > 0.0
+            THEN ROUND((cov_n / var_t) * 86400.0, 6) + 0 END AS slope,
+       CASE WHEN var_t > 0.0
+            THEN ROUND((dsx - (cov_n / var_t) * dsu) / n, 6) + 0
+            END AS intercept,
+       CASE WHEN var_t > 0.0 AND var_x > 0.0
+            THEN ROUND((cov_n * cov_n) / (var_t * var_x), 6)
+            END AS r2
+FROM e
+"""
+
+
 def q_ivf_train_quality_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2372,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hist_quantiles_events": q_streaming_hist_quantiles_events,
         "bm25_topk_documents": q_bm25_topk_documents,
         "cusum_events": q_cusum_events,
+        "trend_events": q_trend_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
@@ -2436,6 +2497,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hist_quantiles_events": _streaming_hist_sql(),
         "bm25_topk_documents": _bm25_sql(),
         "cusum_events": _cusum_sql(),
+        "trend_events": _TREND_SQL,
         "weighted_sample_documents": _weighted_sample_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),

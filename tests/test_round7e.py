@@ -255,3 +255,83 @@ def test_cusum_error_contracts(spark, shifted):
     clash = shifted.withColumn("s_pos", F.lit(1))
     with pytest.raises(IntervalSchemaError, match="clash"):
         cusum(clash, "t", "v", ["k"])
+
+
+# ------------------------------------------ E66: OLS trend
+
+from intervalaverage_spark.operators.analytics import trend  # noqa: E402
+
+
+def py_trend(pairs):
+    """Independent closed-form replay, same centring and rounding."""
+    t0 = min(t for t, _ in pairs)
+    us = [t - t0 for t, _ in pairs]
+    xs = [round(x, 6) for _, x in pairs]
+    n = float(len(pairs))
+    su, sx = sum(us), sum(xs)
+    sux = sum(u * x for u, x in zip(us, xs))
+    suu = sum(u * u for u in us)
+    sxx = sum(x * x for x in xs)
+    cov_n = n * sux - su * sx
+    var_t = n * suu - su * su
+    var_x = n * sxx - sx * sx
+    if var_t <= 0:
+        return (t0, None, None, None)
+    slope = round((cov_n / var_t) * 86400.0, 6) + 0.0
+    intercept = round((sx - (cov_n / var_t) * su) / n, 6) + 0.0
+    r2 = (
+        round((cov_n * cov_n) / (var_t * var_x), 6) if var_x > 0 else None
+    )
+    return (t0, slope, intercept, r2)
+
+
+def _ts(sec):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+
+
+def test_trend_matches_python_replay(spark):
+    pairs = [(i * 3600, 10.0 + 0.25 * i + (i % 3) * 0.5) for i in range(50)]
+    df = spark.createDataFrame(
+        [("a", _ts(t), v) for t, v in pairs], ["k", "ts", "v"]
+    )
+    got = trend(df, "ts", "v", ["k"]).collect()[0]
+    base = int(_ts(0).timestamp())
+    t0, slope, intercept, r2 = py_trend([(t + base, v) for t, v in pairs])
+    assert got["n_points"] == 50 and got["t0"] == t0
+    assert abs(got["slope"] - slope) < 1e-6
+    assert abs(got["intercept"] - intercept) < 1e-6
+    assert abs(got["r2"] - r2) < 1e-6
+    assert got["r2"] > 0.95  # strong planted trend
+
+
+def test_trend_degenerate_fits_null(spark):
+    df = spark.createDataFrame(
+        [("single", _ts(0), 5.0),
+         ("same_t", _ts(10), 1.0), ("same_t", _ts(10), 3.0),
+         ("const_x", _ts(0), 2.0), ("const_x", _ts(60), 2.0)],
+        ["k", "ts", "v"],
+    )
+    got = {r["k"]: r for r in trend(df, "ts", "v", ["k"]).collect()}
+    assert got["single"]["slope"] is None
+    assert got["same_t"]["slope"] is None and got["same_t"]["r2"] is None
+    # constant value over varying time: exact zero slope, r2 undefined
+    assert got["const_x"]["slope"] == 0.0 and got["const_x"]["r2"] is None
+    assert got["const_x"]["intercept"] == 2.0
+
+
+def test_trend_null_values_excluded(spark):
+    df = spark.createDataFrame(
+        [("k", _ts(0), 1.0), ("k", _ts(60), None), ("k", _ts(120), 2.0)],
+        ["k", "ts", "v"],
+    )
+    assert trend(df, "ts", "v", ["k"]).collect()[0]["n_points"] == 2
+
+
+def test_trend_error_contracts(spark):
+    df = spark.createDataFrame([("k", _ts(0), 1.0)], ["k", "ts", "v"])
+    with pytest.raises(IntervalSchemaError, match="group_vars"):
+        trend(df, "ts", "v", [])
+    with pytest.raises(IntervalSchemaError, match="missing column"):
+        trend(df, "ts", "nope", ["k"])
