@@ -51,6 +51,61 @@ _DEC = "decimal(18,6)"
 _OUT_COLS = ("x", "s_pos", "s_neg", "alarm")
 
 
+def cusum_points(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_vars: Sequence[str],
+) -> DataFrame:
+    """One row per (key, ts): the 6-dp decimal mean of ``value_col``
+    (exact decimal sum → one IEEE divide → 6-dp round → decimal).
+    Collapsing duplicates makes the detector's window order TOTAL —
+    the precondition for determinism and the prefix identity."""
+    g = list(group_vars)
+    xd = F.round(F.col(value_col).cast("double"), 6).cast(_DEC)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*g, ts_col)
+        .agg(F.sum(xd).alias("_sx"), F.count(F.lit(1)).alias("_cn"))
+        .select(
+            *g,
+            ts_col,
+            F.round(
+                F.col("_sx").cast("double") / F.col("_cn"), 6
+            ).cast(_DEC).alias("x"),
+        )
+    )
+
+
+def cusum_calibration_from_points(
+    pts: DataFrame,
+    group_vars: Sequence[str],
+    kappa_mult: float = 0.5,
+    h_mult: float = 4.0,
+) -> DataFrame:
+    """Per-key ``(mu, kappa, h)`` as DECIMAL(18,6) from exact decimal
+    moments of a :func:`cusum_points` relation — mu/kappa/h are each
+    ONE fixed-order float expression, 6-dp rounded. This is the
+    offline-calibration artifact the STREAMING detector consumes
+    (streaming/cusum_stream.py): calibrate on history, monitor the
+    stream against it."""
+    g = list(group_vars)
+    stats = pts.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x").alias("_s1"),
+        F.sum(F.col("x") * F.col("x")).alias("_s2"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("_n")
+    ex2 = F.col("_s2").cast("double") / F.col("_n")
+    sigma = F.sqrt(F.greatest(F.lit(0.0), ex2 - mean * mean))
+    return stats.select(
+        *g,
+        F.round(mean, 6).cast(_DEC).alias("mu"),
+        F.round(sigma * kappa_mult, 6).cast(_DEC).alias("kappa"),
+        F.round(sigma * h_mult, 6).cast(_DEC).alias("h"),
+    )
+
+
 def cusum(
     df: DataFrame,
     ts_col: str,
@@ -94,40 +149,13 @@ def cusum(
         )
 
     g = list(group_vars)
-    xd = F.round(F.col(value_col).cast("double"), 6).cast(_DEC)
-
-    # one row per (key, ts): exact decimal sum -> one IEEE divide ->
-    # 6-dp round -> back to decimal. Total order + determinism.
-    pts = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(*g, ts_col)
-        .agg(
-            F.sum(xd).alias("_sx"), F.count(F.lit(1)).alias("_cn")
-        )
-        .select(
-            *g,
-            ts_col,
-            F.round(
-                F.col("_sx").cast("double") / F.col("_cn"), 6
-            ).cast(_DEC).alias("x"),
-        )
-    )
-
-    # per-key calibration from exact decimal moments; mu/kappa/h are
-    # each ONE fixed-order float expression, 6-dp rounded.
-    stats = pts.groupBy(*g).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("x").alias("_s1"),
-        F.sum(F.col("x") * F.col("x")).alias("_s2"),
-    )
-    mean = F.col("_s1").cast("double") / F.col("_n")
-    ex2 = F.col("_s2").cast("double") / F.col("_n")
-    sigma = F.sqrt(F.greatest(F.lit(0.0), ex2 - mean * mean))
-    cal = stats.select(
+    pts = cusum_points(df, ts_col, value_col, g)
+    cal = cusum_calibration_from_points(pts, g, kappa_mult, h_mult)
+    cal = cal.select(
         *g,
-        F.round(mean, 6).cast(_DEC).alias("_mu"),
-        F.round(sigma * kappa_mult, 6).cast(_DEC).alias("_kappa"),
-        F.round(sigma * h_mult, 6).cast(_DEC).alias("_h"),
+        F.col("mu").alias("_mu"),
+        F.col("kappa").alias("_kappa"),
+        F.col("h").alias("_h"),
     )
 
     w = Window.partitionBy(*g).orderBy(ts_col)

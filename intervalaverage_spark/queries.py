@@ -1814,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_documents": p["bm25_topk_documents"],
         "cusum_events": p["cusum_events"],
         "trend_events": p["trend_events"],
+        "streaming_cusum_events": p["streaming_cusum_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
         # ---- new in round 7 ----
         "cluster_split_documents": p["cluster_split_documents"],

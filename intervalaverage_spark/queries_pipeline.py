@@ -2129,6 +2129,55 @@ FROM s WHERE sp > h OR sn > h
 """
 
 
+def q_streaming_cusum_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CUSUM (E67, streaming/cusum_stream.py): the E65
+    detector run AT INGEST — calibration (mu/kappa/h) computed offline
+    from the batch decimal moments, then the stream carries just
+    (s+, s-) per key as integer micro-units through
+    applyInPandasWithState (the carry-in prefix identity vectorizes
+    each micro-batch: one cumsum + one cummin per side). A bounded
+    availableNow replay must equal the batch operator row-for-row, so
+    the oracle is the SAME SQL as the batch cusum_events row — the
+    strongest pin a stateful streaming operator can have."""
+    from intervalaverage_spark.operators.changepoint import (
+        cusum_calibration_from_points,
+        cusum_points,
+    )
+    from intervalaverage_spark.streaming.cusum_stream import streaming_cusum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cal = cusum_calibration_from_points(
+        cusum_points(ev, "ts", "value", ["event_type"]),
+        ["event_type"], _CUSUM_KM, _CUSUM_HM,
+    )
+    schema = ev.schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_type", "ts", "value")
+    )
+    out = streaming_cusum(src, cal, "event_type", "ts", "value")
+    name = "q_streaming_cusum_events"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_cusum: availableNow query did not finish within "
+            "300s; refusing to compare a truncated sink"
+        )
+    q.stop()
+    return spark.table(name).select(
+        F.col("key").alias("event_type"),
+        "ts", "x", "s_pos", "s_neg", "h", "alarm",
+    )
+
+
 def q_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, event_type) OLS trend (E66,
     operators/analytics.py trend): slope (value-units/day), intercept
@@ -2433,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_documents": q_bm25_topk_documents,
         "cusum_events": q_cusum_events,
         "trend_events": q_trend_events,
+        "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
         "simhash_documents": q_simhash_documents,
@@ -2498,6 +2548,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_documents": _bm25_sql(),
         "cusum_events": _cusum_sql(),
         "trend_events": _TREND_SQL,
+        # stream must equal batch row-for-row: the oracle IS the batch
+        # CUSUM SQL (the replay is bounded and per-key ordered)
+        "streaming_cusum_events": _cusum_sql(),
         "weighted_sample_documents": _weighted_sample_sql(),
         "shard_assign_documents": SHARD_ASSIGN_SQL,
         "simhash_documents": _simhash_sql(),

@@ -335,3 +335,65 @@ def test_trend_error_contracts(spark):
         trend(df, "ts", "v", [])
     with pytest.raises(IntervalSchemaError, match="missing column"):
         trend(df, "ts", "nope", ["k"])
+
+
+# ------------------------------------------ E67: streaming CUSUM
+
+from intervalaverage_spark.operators.changepoint import (  # noqa: E402
+    cusum_calibration_from_points,
+    cusum_points,
+)
+from intervalaverage_spark.streaming.cusum_stream import (  # noqa: E402
+    streaming_cusum,
+)
+
+
+def test_streaming_cusum_equals_batch_across_microbatches(spark, tmp_path):
+    """Three time-ordered parquet files streamed one per micro-batch:
+    the (s+, s-) carry across batches must reproduce the batch detector
+    row-for-row (state is two ints per key; the carry-in prefix
+    identity handles resets inside AND between batches)."""
+    src_dir = str(tmp_path / "cusum_src")
+    for part in range(3):
+        rows_in = [
+            ("a", _ts(t * 60),
+             10.0 + (t % 3) * 0.5 + (10.0 if t >= 50 else 0.0))
+            for t in range(part * 30, (part + 1) * 30)
+        ] + [
+            ("b", _ts(t * 60), 5.0 + (t % 2) * 3.0)
+            for t in range(part * 30, (part + 1) * 30)
+        ]
+        (spark.createDataFrame(rows_in, ["k", "ts", "v"])
+         .coalesce(1).write.mode("append").parquet(src_dir))
+    full = spark.read.parquet(src_dir)
+    want = rows(
+        cusum(full, "ts", "v", ["k"]).drop("alarm"), "k", "ts")
+
+    cal = cusum_calibration_from_points(
+        cusum_points(full, "ts", "v", ["k"]), ["k"])
+    # file create order == event-time order is required ACROSS batches;
+    # latestFirst would violate the documented ordering boundary
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = streaming_cusum(stream, cal, "k", "ts", "v")
+    name = "t_stream_cusum"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    assert q.lastProgress["batchId"] >= 1  # state actually carried
+    got = rows(
+        spark.table(name)
+        .select(F.col("key").alias("k"), "ts", "x",
+                "s_pos", "s_neg", "h"),
+        "k", "ts",
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_cusum_contracts(spark):
+    df = spark.createDataFrame([("a", _ts(0), 1.0)], ["k", "ts", "v"])
+    bad_cal = spark.createDataFrame([("a", 1.0)], ["k", "mu"])
+    with pytest.raises(IntervalSchemaError, match="calibration"):
+        streaming_cusum(df, bad_cal, "k", "ts", "v")
