@@ -1091,6 +1091,34 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.operators.difference import (
+        interval_difference,
+    )
+
+    dx = q.orders_x(spark, f"{sf}")
+    dy = dx.select("custkey", (F.col("s") + 5).alias("bs"),
+                   (F.col("s") + 15).alias("be"))
+    add(
+        "interval_difference (x minus union(y) by composition)",
+        interval_difference(dx, dy, {"s": "bs", "e": "be"}, ["custkey"],
+                            strategy="bucket", bucket_width=56,
+                            sort=False),
+        must=["Window", "HashAggregate"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Interval difference (E68): x − y composes as intersect(x, "
+            "gaps(coalesce(y) ∪ span-sentinels)) — coalesce and gaps are "
+            "key-partitioned windows, the span/sentinel relations are "
+            "per-key aggregates, and the ONE real join is the bucketed "
+            "range join the flagship already audits (salted buckets, no "
+            "per-key hot task, no cartesian). Closes the interval "
+            "algebra (∩ ∪ complement −) with zero new kernel code; the "
+            "tiling property difference ⊎ (x ∩ ∪y) == x is pytest-pinned "
+            "(tests/test_round7e.py)."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)

@@ -192,6 +192,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         "bm25_topk_documents",
         "cusum_events",
         "trend_events",
+        "interval_difference_orders",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1752,6 +1752,77 @@ def q_interval_gaps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("custkey", "gap_start", "gap_end", "gap_len")
 
 
+def q_interval_difference_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval difference (E68, operators/difference.py): each
+    customer's order-validity intervals MINUS a per-customer blackout
+    set (every order start shifts a [s+5, s+15] window — overlapping
+    blackouts exercise the coalesce fusion). x − y composes as
+    intersect(x, gaps(coalesce(y) ∪ span-sentinels)) — three audited
+    operators; the one join is the bucketed range join."""
+    from intervalaverage_spark.operators.difference import (
+        interval_difference,
+    )
+
+    x = orders_x(spark, sf_dir)
+    y = x.select(
+        "custkey",
+        (F.col("s") + 5).alias("bs"),
+        (F.col("s") + 15).alias("be"),
+    )
+    out = interval_difference(
+        x, y, {"s": "bs", "e": "be"}, ["custkey"],
+        strategy="bucket", bucket_width=56, sort=False,
+    )
+    return out.select("custkey", "start", "end")
+
+
+INTERVAL_DIFFERENCE_ORDERS_SQL = f"""
+WITH {ORDERS_X_SQL},
+yb AS (SELECT custkey, s + 5 AS ys, s + 15 AS ye FROM ox),
+w AS (
+  SELECT custkey, ys, ye,
+         max(ye) OVER (PARTITION BY custkey ORDER BY ys, ye
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme
+  FROM yb),
+f AS (
+  SELECT *, CASE WHEN pme IS NULL OR ys > pme + 1 THEN 1 ELSE 0 END AS brk
+  FROM w),
+i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY custkey ORDER BY ys, ye
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM f),
+islands AS (
+  SELECT custkey, MIN(ys) AS is_, MAX(ye) AS ie
+  FROM i GROUP BY custkey, island),
+span AS (SELECT custkey, MIN(s) AS lo, MAX(e) AS hi FROM ox GROUP BY 1),
+clip AS (
+  SELECT isl.custkey AS custkey, GREATEST(is_, lo) AS cs,
+         LEAST(ie, hi) AS ce
+  FROM islands isl JOIN span ON isl.custkey = span.custkey
+  WHERE ie >= lo AND is_ <= hi),
+allc AS (
+  SELECT * FROM clip
+  UNION ALL SELECT custkey, lo - 1, lo - 1 FROM span
+  UNION ALL SELECT custkey, hi + 1, hi + 1 FROM span),
+g AS (
+  SELECT custkey, cs, ce,
+         max(ce) OVER (PARTITION BY custkey ORDER BY cs, ce
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme
+  FROM allc),
+free AS (
+  SELECT custkey, pme + 1 AS fs, cs - 1 AS fe
+  FROM g WHERE pme IS NOT NULL AND cs - 1 - pme >= 1)
+SELECT ox.custkey AS custkey, GREATEST(ox.s, fr.fs) AS start,
+       LEAST(ox.e, fr.fe) AS "end"
+FROM ox JOIN free fr
+  ON ox.custkey = fr.custkey AND ox.e >= fr.fs AND ox.s <= fr.fe
+"""
+
+
 INTERVAL_GAPS_ORDERS_SQL = f"""
 WITH {ORDERS_X_SQL},
 w AS (
@@ -1816,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_events": p["trend_events"],
         "streaming_cusum_events": p["streaming_cusum_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
+        "interval_difference_orders": q_interval_difference_orders,
         # ---- new in round 7 ----
         "cluster_split_documents": p["cluster_split_documents"],
         "bloom_membership_documents": p["bloom_membership_documents"],
@@ -1954,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_1h_minmax": ROLLING_1H_MINMAX_SQL,
         "percentiles_daily_events": PERCENTILES_DAILY_SQL,
         "interval_gaps_orders": INTERVAL_GAPS_ORDERS_SQL,
+        "interval_difference_orders": INTERVAL_DIFFERENCE_ORDERS_SQL,
         "interval_average_lineitem_weekly": _ia_oracle_from(
             LINEITEM_X_SQL, "suppkey", 7, 50.0, sparse=False),
         "interval_intersect_lineitem_weekly": II_LINEITEM_SQL,

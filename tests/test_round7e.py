@@ -397,3 +397,142 @@ def test_streaming_cusum_contracts(spark):
     bad_cal = spark.createDataFrame([("a", 1.0)], ["k", "mu"])
     with pytest.raises(IntervalSchemaError, match="calibration"):
         streaming_cusum(df, bad_cal, "k", "ts", "v")
+
+
+# ------------------------------------------ E68: interval difference
+
+import datetime  # noqa: E402
+
+from intervalaverage_spark.operators.coalesce import (  # noqa: E402
+    interval_coalesce,
+)
+from intervalaverage_spark.operators.difference import (  # noqa: E402
+    interval_difference,
+)
+from intervalaverage_spark.operators.intersect import (  # noqa: E402
+    interval_intersect,
+)
+
+
+def py_difference(x_rows, y_rows):
+    """Set-of-points reference: per key, x-row points minus y points,
+    regrouped into maximal runs — the independent replay."""
+    from collections import defaultdict
+
+    ycov = defaultdict(set)
+    for k, s, e in y_rows:
+        ycov[k].update(range(s, e + 1))
+    out = []
+    for k, s, e in x_rows:
+        free = [p for p in range(s, e + 1) if p not in ycov[k]]
+        run = []
+        for p in free:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.append((k, run[0], run[-1]))
+                run = [p]
+        if run:
+            out.append((k, run[0], run[-1]))
+    return sorted(out)
+
+
+def _pseudorandom_intervals(seed, n, kmax, span):
+    """Deterministic LCG fixture — no RNG state, reproducible."""
+    rows_out, v = [], seed
+    for _ in range(n):
+        v = (v * 1103515245 + 12345) % (2**31)
+        k = f"k{v % kmax}"
+        v = (v * 1103515245 + 12345) % (2**31)
+        s = v % span
+        v = (v * 1103515245 + 12345) % (2**31)
+        rows_out.append((k, s, s + v % 12))
+    return rows_out
+
+
+def test_difference_matches_point_set_replay(spark):
+    xs = _pseudorandom_intervals(7, 60, 5, 90)
+    ys = _pseudorandom_intervals(13, 40, 5, 90)
+    got = sorted(
+        (r["k"], r["start"], r["end"])
+        for r in interval_difference(
+            spark.createDataFrame(xs, ["k", "s", "e"]),
+            spark.createDataFrame(ys, ["k", "bs", "be"]),
+            {"s": "bs", "e": "be"}, ["k"],
+        ).collect()
+    )
+    assert got == py_difference(xs, ys)
+
+
+def test_difference_tiles_with_intersection(spark):
+    """Algebra closure: per x row, |difference pieces| + |x ∩ fused y|
+    == |x| in points — the two outputs tile every x row exactly."""
+    xs = _pseudorandom_intervals(3, 40, 4, 70)
+    ys = _pseudorandom_intervals(11, 30, 4, 70)
+    xdf = spark.createDataFrame(
+        [(k, s, e, i) for i, (k, s, e) in enumerate(xs)],
+        ["k", "s", "e", "xid"],
+    )
+    ydf = spark.createDataFrame(ys, ["k", "bs", "be"])
+    diff = interval_difference(
+        xdf, ydf, {"s": "bs", "e": "be"}, ["k"]
+    ).groupBy("xid").agg(
+        F.sum(F.col("end") - F.col("start") + 1).alias("free_len")
+    )
+    fused = interval_coalesce(ydf, ("bs", "be"), ["k"])
+    inter = interval_intersect(
+        xdf, fused.select("k", "start", "end"),
+        {"s": "start", "e": "end"}, ["k"], validate=False, sort=False,
+        interval_vars_out=("cs", "ce"),
+    ).groupBy("xid").agg(
+        F.sum(F.col("ce") - F.col("cs") + 1).alias("cov_len")
+    )
+    base = xdf.select(
+        "xid", (F.col("e") - F.col("s") + 1).alias("len")
+    )
+    j = (base.join(diff, "xid", "left").join(inter, "xid", "left")
+         .na.fill(0))
+    bad = j.where(
+        F.col("len") != F.col("free_len") + F.col("cov_len")
+    ).count()
+    assert bad == 0
+
+
+def test_difference_edges(spark):
+    x = spark.createDataFrame(
+        [("cov", 2, 8), ("noy", 1, 4)], ["k", "s", "e"]
+    )
+    y = spark.createDataFrame([("cov", 0, 99)], ["k", "bs", "be"])
+    got = rows(
+        interval_difference(x, y, {"s": "bs", "e": "be"}, ["k"]), "k"
+    )
+    # fully covered emits nothing; key without y emits itself whole
+    assert got == [{"k": "noy", "start": 1, "end": 4}]
+
+
+def test_difference_dates_round_trip(spark):
+    d = datetime.date
+    x = spark.createDataFrame(
+        [("a", d(2024, 1, 1), d(2024, 1, 10))], ["k", "s", "e"]
+    )
+    y = spark.createDataFrame(
+        [("a", d(2024, 1, 4), d(2024, 1, 6))], ["k", "bs", "be"]
+    )
+    got = rows(
+        interval_difference(x, y, {"s": "bs", "e": "be"}, ["k"]), "start"
+    )
+    assert got == [
+        {"k": "a", "start": d(2024, 1, 1), "end": d(2024, 1, 3)},
+        {"k": "a", "start": d(2024, 1, 7), "end": d(2024, 1, 10)},
+    ]
+
+
+def test_difference_mixed_classes_raise(spark):
+    d = datetime.date
+    x = spark.createDataFrame([("a", 1, 5)], ["k", "s", "e"])
+    y = spark.createDataFrame(
+        [("a", d(2024, 1, 1), d(2024, 1, 2))], ["k", "bs", "be"]
+    )
+    with pytest.raises(ValueError, match="class"):
+        interval_difference(x, y, {"s": "bs", "e": "be"}, ["k"])
