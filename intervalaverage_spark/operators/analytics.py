@@ -666,3 +666,104 @@ def trend(
         (F.round(intercept, 6) + F.lit(0.0)).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def autocorr(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_vars: Sequence[str],
+    max_lag: int = 1,
+) -> DataFrame:
+    """Per-key sequence autocorrelation at lags 1..``max_lag``: the
+    Pearson correlation of ``(x_i, x_{i+ℓ})`` over consecutive
+    observation pairs in time order — "does this series remember
+    itself", the periodicity/persistence companion of :func:`trend`
+    (trend asks IS it drifting; autocorrelation asks is it NOISE or
+    STRUCTURE, e.g. recrawl-interval persistence per host or diurnal
+    carry-over in crawl activity).
+
+    Sequence ACF, not grid ACF: lags count OBSERVATIONS, not seconds —
+    no resample/gap-fill is imposed (compose with the fill operators
+    first if a regular grid is wanted). Duplicate timestamps collapse
+    to their 6-dp decimal mean first (the same total-order precondition
+    as the CUSUM detector — reuses
+    :func:`~intervalaverage_spark.operators.changepoint.cusum_points`),
+    so the pairing is deterministic. NULL values are excluded.
+
+    Exactness discipline (the trend/CUSUM pattern): pair sums
+    ``(n, Σa, Σb, Σab, Σa², Σb²)`` are EXACT decimal folds; ``acf`` is
+    ONE fixed-order float expression over them, 6-dp rounded,
+    −0.0-normalised; degenerate keys (fewer than 2 pairs at that lag,
+    or zero variance on either margin) emit NULL, never NaN.
+
+    Returns one row per (key, lag): ``(*group_vars, lag, n_pairs,
+    acf)`` — keys emit a row for every lag that has at least one pair.
+
+    Scale shape: the duplicate collapse is one partially-aggregated
+    exchange; ONE key-partitioned window sort produces all ``max_lag``
+    lead columns; the explode to (lag, a, b) pairs is map-side; the
+    moment fold combines map-side on (key, lag). Per-key cost is one
+    sorted scan of its history + max_lag× map-side rows — a hot key
+    never materialises its history more than once, and there is no
+    join at all.
+    """
+    from intervalaverage_spark.operators.changepoint import cusum_points
+
+    if max_lag < 1:
+        raise IntervalSchemaError(
+            f"autocorr: max_lag must be >= 1, got {max_lag}")
+    if not group_vars:
+        raise IntervalSchemaError("autocorr: group_vars must be non-empty")
+    for c in (ts_col, value_col, *group_vars):
+        if c not in df.columns:
+            raise IntervalSchemaError(f"autocorr: missing column {c!r}")
+    g = list(group_vars)
+    pts = cusum_points(df, ts_col, value_col, g)
+
+    w = Window.partitionBy(*g).orderBy(ts_col)
+    lead_cols = [
+        F.lead("x", lag).over(w).alias(f"__b{lag}")
+        for lag in range(1, max_lag + 1)
+    ]
+    lagged = pts.select(*g, F.col("x").alias("__a"), *lead_cols)
+    pairs = lagged.select(
+        *g,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(lag).cast("int").alias("lag"),
+                    F.col("__a").alias("a"),
+                    F.col(f"__b{lag}").alias("b"),
+                )
+                for lag in range(1, max_lag + 1)
+            ])
+        ).alias("__p"),
+    ).select(
+        *g, "__p.lag", F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b")
+    ).where(F.col("__b").isNotNull())
+
+    m = pairs.groupBy(*g, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__a").alias("_sa"),
+        F.sum("__b").alias("_sb"),
+        F.sum(F.col("__a") * F.col("__b")).alias("_sab"),
+        F.sum(F.col("__a") * F.col("__a")).alias("_saa"),
+        F.sum(F.col("__b") * F.col("__b")).alias("_sbb"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sa = F.col("_sa").cast("double")
+    sb = F.col("_sb").cast("double")
+    sab = F.col("_sab").cast("double")
+    saa = F.col("_saa").cast("double")
+    sbb = F.col("_sbb").cast("double")
+    num = n * sab - sa * sb
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    acf = F.when((va > 0.0) & (vb > 0.0), num / F.sqrt(va * vb))
+    return m.select(
+        *g,
+        "lag",
+        "n_pairs",
+        (F.round(acf, 6) + F.lit(0.0)).alias("acf"),
+    )

@@ -1823,6 +1823,49 @@ FROM ox JOIN free fr
 """
 
 
+def q_interval_concurrency_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sweep-line concurrency profile (E69, operators/coalesce.py
+    interval_concurrency): maximal constant-depth segments of each
+    customer's overlapping order-validity intervals — "how many orders
+    were simultaneously live at time t". Explode to ±1 delta events,
+    collapse nets per (key, t), one window prefix-sum = the sweep
+    line; no join, no UDF, all-long output (hash-exact by
+    construction)."""
+    from intervalaverage_spark.operators.coalesce import (
+        interval_concurrency,
+    )
+
+    x = orders_x(spark, sf_dir)
+    out = interval_concurrency(x, ("s", "e"), ["custkey"], sort=False)
+    return out.select("custkey", "seg_start", "seg_end", "n_open", "seg_len")
+
+
+INTERVAL_CONCURRENCY_ORDERS_SQL = f"""
+WITH {ORDERS_X_SQL},
+ev AS (
+  SELECT custkey, s AS t, CAST(1 AS BIGINT) AS d FROM ox
+  UNION ALL
+  SELECT custkey, e + 1, CAST(-1 AS BIGINT) FROM ox
+),
+net AS (
+  SELECT custkey, t, SUM(d) AS delta
+  FROM ev GROUP BY 1, 2 HAVING SUM(d) <> 0
+),
+sw AS (
+  SELECT custkey, t,
+         SUM(delta) OVER (PARTITION BY custkey ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS depth,
+         LEAD(t) OVER (PARTITION BY custkey ORDER BY t) AS nt
+  FROM net
+)
+SELECT custkey, t AS seg_start, nt - 1 AS seg_end,
+       CAST(depth AS BIGINT) AS n_open, CAST(nt - t AS BIGINT) AS seg_len
+FROM sw WHERE depth >= 1
+"""
+
+
 INTERVAL_GAPS_ORDERS_SQL = f"""
 WITH {ORDERS_X_SQL},
 w AS (
@@ -1885,9 +1928,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_documents": p["bm25_topk_documents"],
         "cusum_events": p["cusum_events"],
         "trend_events": p["trend_events"],
+        "autocorr_events": p["autocorr_events"],
         "streaming_cusum_events": p["streaming_cusum_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
         "interval_difference_orders": q_interval_difference_orders,
+        "interval_concurrency_orders": q_interval_concurrency_orders,
         # ---- new in round 7 ----
         "cluster_split_documents": p["cluster_split_documents"],
         "bloom_membership_documents": p["bloom_membership_documents"],
@@ -2026,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_1h_minmax": ROLLING_1H_MINMAX_SQL,
         "percentiles_daily_events": PERCENTILES_DAILY_SQL,
         "interval_gaps_orders": INTERVAL_GAPS_ORDERS_SQL,
+        "interval_concurrency_orders": INTERVAL_CONCURRENCY_ORDERS_SQL,
         "interval_difference_orders": INTERVAL_DIFFERENCE_ORDERS_SQL,
         "interval_average_lineitem_weekly": _ia_oracle_from(
             LINEITEM_X_SQL, "suppkey", 7, 50.0, sparse=False),

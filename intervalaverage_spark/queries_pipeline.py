@@ -2238,6 +2238,64 @@ FROM e
 """
 
 
+def q_autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type sequence autocorrelation at lags 1–3 (E70,
+    operators/analytics.py autocorr): Pearson correlation of
+    consecutive observation pairs of the per-timestamp mean value
+    series — trend's companion statistic (drift vs memory). Exact
+    decimal pair moments, one fixed-order float per (key, lag), 6-dp
+    rounded; one window sort + one map-side-combined fold, no join."""
+    from intervalaverage_spark.operators.analytics import autocorr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return autocorr(ev, "ts", "value", ["event_type"], max_lag=3)
+
+
+_AUTOCORR_SQL = """
+WITH pts AS (
+  SELECT event_type, ts,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+lagd AS (
+  SELECT event_type, x AS a,
+         LEAD(x, 1) OVER w AS b1,
+         LEAD(x, 2) OVER w AS b2,
+         LEAD(x, 3) OVER w AS b3
+  FROM pts
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+pairs AS (
+  SELECT event_type, 1 AS lag, a, b1 AS b FROM lagd WHERE b1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2, a, b2 FROM lagd WHERE b2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3, a, b3 FROM lagd WHERE b3 IS NOT NULL),
+m AS (
+  SELECT event_type, lag, COUNT(*) AS n_pairs,
+         SUM(a) AS sa, SUM(b) AS sb, SUM(a * b) AS sab,
+         SUM(a * a) AS saa, SUM(b * b) AS sbb
+  FROM pairs GROUP BY 1, 2),
+f AS (
+  SELECT event_type, lag, n_pairs,
+         CAST(n_pairs AS DOUBLE) AS n,
+         CAST(sa AS DOUBLE) AS dsa, CAST(sb AS DOUBLE) AS dsb,
+         CAST(sab AS DOUBLE) AS dsab,
+         CAST(saa AS DOUBLE) AS dsaa, CAST(sbb AS DOUBLE) AS dsbb
+  FROM m),
+e AS (
+  SELECT event_type, lag, n_pairs,
+         n * dsab - dsa * dsb AS num,
+         n * dsaa - dsa * dsa AS va,
+         n * dsbb - dsb * dsb AS vb
+  FROM f)
+SELECT event_type, lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN va > 0.0 AND vb > 0.0
+            THEN ROUND(num / sqrt(va * vb), 6) + 0 END AS acf
+FROM e
+"""
+
+
 def q_ivf_train_quality_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2482,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_documents": q_bm25_topk_documents,
         "cusum_events": q_cusum_events,
         "trend_events": q_trend_events,
+        "autocorr_events": q_autocorr_events,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -2548,6 +2607,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_documents": _bm25_sql(),
         "cusum_events": _cusum_sql(),
         "trend_events": _TREND_SQL,
+        "autocorr_events": _AUTOCORR_SQL,
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

@@ -1,0 +1,250 @@
+"""Round-7 sixth wave: interval concurrency (E69) + autocorrelation (E70).
+
+Concurrency is pinned by a brute-force point-set replay (depth at every
+point == count of covering intervals) and by its algebraic tie to
+coalesce (constant-depth segments tile the islands exactly); autocorr
+by an independent python replay of the exact-decimal-moment pipeline
+and by closed-form cases (alternating series: acf(1) = −1, acf(2) = +1).
+"""
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from intervalaverage_spark.operators.analytics import autocorr
+from intervalaverage_spark.operators.coalesce import (
+    interval_coalesce,
+    interval_concurrency,
+)
+from intervalaverage_spark.validation import IntervalSchemaError
+from tests.conftest import rows
+
+
+def _lcg(seed: int):
+    """Deterministic 32-bit LCG (no Date.now/random — replay-stable)."""
+    state = seed & 0xFFFFFFFF
+    while True:
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFF
+        yield state
+
+
+# --------------------------------------------------------- E69 concurrency
+
+
+def test_concurrency_hand_fixture(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 3), ("a", 3, 9), ("a", 5, 6), ("a", 20, 22),
+         ("b", 4, 4), ("b", 5, 5)],
+        "k string, s long, e long",
+    )
+    got = rows(
+        interval_concurrency(df, ("s", "e"), ["k"]), "k", "seg_start"
+    )
+    want = [
+        {"k": "a", "seg_start": 1, "seg_end": 2, "n_open": 1, "seg_len": 2},
+        {"k": "a", "seg_start": 3, "seg_end": 3, "n_open": 2, "seg_len": 1},
+        {"k": "a", "seg_start": 4, "seg_end": 4, "n_open": 1, "seg_len": 1},
+        {"k": "a", "seg_start": 5, "seg_end": 6, "n_open": 2, "seg_len": 2},
+        {"k": "a", "seg_start": 7, "seg_end": 9, "n_open": 1, "seg_len": 3},
+        {"k": "a", "seg_start": 20, "seg_end": 22, "n_open": 1, "seg_len": 3},
+        # b: [4,4] and [5,5] touch — the zero-net event at t=5 drops, so
+        # the two depth-1 runs merge into ONE maximal segment
+        {"k": "b", "seg_start": 4, "seg_end": 5, "n_open": 1, "seg_len": 2},
+    ]
+    assert got == want
+
+
+def test_concurrency_pointwise_replay(spark):
+    g = _lcg(7)
+    data = []
+    for i in range(120):
+        k = f"k{next(g) % 4}"
+        s = next(g) % 200
+        data.append((k, s, s + next(g) % 30))
+    df = spark.createDataFrame(data, "k string, s long, e long")
+    segs = rows(interval_concurrency(df, ("s", "e"), ["k"]))
+    # brute-force: depth at every covered point
+    depth: dict[tuple[str, int], int] = {}
+    for k, s, e in data:
+        for t in range(s, e + 1):
+            depth[(k, t)] = depth.get((k, t), 0) + 1
+    got = {}
+    for r in segs:
+        assert r["seg_len"] == r["seg_end"] - r["seg_start"] + 1
+        assert r["n_open"] >= 1
+        for t in range(r["seg_start"], r["seg_end"] + 1):
+            assert (r["k"], t) not in got, "segments overlap"
+            got[(r["k"], t)] = r["n_open"]
+    assert got == depth
+    # maximality: adjacent segments of a key differ in depth
+    by_key: dict[str, list] = {}
+    for r in sorted(segs, key=lambda r: (r["k"], r["seg_start"])):
+        by_key.setdefault(r["k"], []).append(r)
+    for ss in by_key.values():
+        for a, b in zip(ss, ss[1:]):
+            if a["seg_end"] + 1 == b["seg_start"]:
+                assert a["n_open"] != b["n_open"], "non-maximal split"
+
+
+def test_concurrency_tiles_islands(spark):
+    g = _lcg(11)
+    data = []
+    for _ in range(80):
+        k = f"k{next(g) % 3}"
+        s = next(g) % 150
+        data.append((k, s, s + next(g) % 25))
+    df = spark.createDataFrame(data, "k string, s long, e long")
+    segs = rows(interval_concurrency(df, ("s", "e"), ["k"]))
+    isl = rows(interval_coalesce(df, ("s", "e"), ["k"]))
+    # segments tile the coalesced cover: total seg_len == total covered
+    cov = {}
+    for r in isl:
+        cov[r["k"]] = cov.get(r["k"], 0) + r["covered"]
+    seg = {}
+    for r in segs:
+        seg[r["k"]] = seg.get(r["k"], 0) + r["seg_len"]
+    assert seg == cov
+    # and every segment lies inside one island
+    spans = {}
+    for r in isl:
+        spans.setdefault(r["k"], []).append((r["start"], r["end"]))
+    for r in segs:
+        assert any(s <= r["seg_start"] and r["seg_end"] <= e
+                   for s, e in spans[r["k"]])
+
+
+def test_concurrency_dates_roundtrip(spark):
+    d = datetime.date
+    df = spark.createDataFrame(
+        [("a", d(2024, 1, 1), d(2024, 1, 10)),
+         ("a", d(2024, 1, 5), d(2024, 1, 7))],
+        "k string, s date, e date",
+    )
+    got = rows(interval_concurrency(df, ("s", "e"), ["k"]), "seg_start")
+    assert [type(r["seg_start"]) for r in got] == [d, d, d]
+    assert got == [
+        {"k": "a", "seg_start": d(2024, 1, 1), "seg_end": d(2024, 1, 4),
+         "n_open": 1, "seg_len": 4},
+        {"k": "a", "seg_start": d(2024, 1, 5), "seg_end": d(2024, 1, 7),
+         "n_open": 2, "seg_len": 3},
+        {"k": "a", "seg_start": d(2024, 1, 8), "seg_end": d(2024, 1, 10),
+         "n_open": 1, "seg_len": 3},
+    ]
+
+
+def test_concurrency_duplicates_count(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 1, 5), ("a", 1, 5)], "k string, s long, e long"
+    )
+    got = rows(interval_concurrency(df, ("s", "e"), ["k"]))
+    assert got == [{"k": "a", "seg_start": 1, "seg_end": 5, "n_open": 3,
+                    "seg_len": 5}]
+
+
+def test_concurrency_errors(spark):
+    df = spark.createDataFrame([("a", 1, 5)], "k string, s long, e long")
+    with pytest.raises(IntervalSchemaError):
+        interval_concurrency(df, ("s", "nope"), ["k"])
+
+
+# ----------------------------------------------------------- E70 autocorr
+
+
+def _py_autocorr(series_by_key, max_lag):
+    """Independent replay: exact integer micro-unit moments, the same
+    fixed-order float expression, 6-dp round."""
+    out = {}
+    for key, xs in series_by_key.items():
+        # xs already 6-dp values; work in exact micro-units
+        mu = [round(x * 1e6) for x in xs]
+        for lag in range(1, max_lag + 1):
+            a = mu[:-lag] if lag < len(mu) else []
+            b = mu[lag:]
+            if not a:
+                continue
+            n = float(len(a))
+            sa = float(sum(a)) / 1e6
+            sb = float(sum(b)) / 1e6
+            sab = float(sum(x * y for x, y in zip(a, b))) / 1e12
+            saa = float(sum(x * x for x in a)) / 1e12
+            sbb = float(sum(y * y for y in b)) / 1e12
+            num = n * sab - sa * sb
+            va = n * saa - sa * sa
+            vb = n * sbb - sb * sb
+            acf = (round(num / (va * vb) ** 0.5, 6) + 0.0
+                   if va > 0.0 and vb > 0.0 else None)
+            out[(key, lag)] = (len(a), acf)
+    return out
+
+
+def test_autocorr_python_replay(spark):
+    g = _lcg(23)
+    data, series = [], {}
+    for k in ("a", "b"):
+        xs = []
+        for i in range(40):
+            v = (next(g) % 20000 - 10000) / 1000.0  # 3-dp values, exact
+            xs.append(v)
+            data.append((k, i, v))
+        series[k] = xs
+    df = spark.createDataFrame(data, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), F.col("v")
+    )
+    got = {
+        (r["k"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in rows(autocorr(df, "ts", "v", ["k"], max_lag=3))
+    }
+    assert got == _py_autocorr(series, 3)
+
+
+def test_autocorr_alternating_exact(spark):
+    data = [("a", i, 1.0 if i % 2 == 0 else -1.0) for i in range(8)]
+    df = spark.createDataFrame(data, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    got = {r["lag"]: r["acf"]
+           for r in rows(autocorr(df, "ts", "v", ["k"], max_lag=2))}
+    assert got == {1: -1.0, 2: 1.0}
+
+
+def test_autocorr_constant_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(6)], "k string, t long, v double"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    got = rows(autocorr(df, "ts", "v", ["k"], max_lag=1))
+    assert got == [{"k": "a", "lag": 1, "n_pairs": 5, "acf": None}]
+
+
+def test_autocorr_duplicate_ts_collapse(spark):
+    # (t=0: 1.0 and 2.0 -> 1.5), t=1: 3.0, t=2: 0.0 — pinned vs the
+    # 3-point series [1.5, 3.0, 0.0]
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 0, 2.0), ("a", 1, 3.0), ("a", 2, 0.0)],
+        "k string, t long, v double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    got = rows(autocorr(df, "ts", "v", ["k"], max_lag=1))
+    want = _py_autocorr({"a": [1.5, 3.0, 0.0]}, 1)[("a", 1)]
+    assert got == [{"k": "a", "lag": 1, "n_pairs": want[0], "acf": want[1]}]
+
+
+def test_autocorr_null_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, None), ("a", 2, 2.0), ("a", 3, 1.0)],
+        "k string, t long, v double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    got = rows(autocorr(df, "ts", "v", ["k"], max_lag=1))
+    # NULL row drops entirely: series is [1.0, 2.0, 1.0]
+    want = _py_autocorr({"a": [1.0, 2.0, 1.0]}, 1)[("a", 1)]
+    assert got == [{"k": "a", "lag": 1, "n_pairs": want[0], "acf": want[1]}]
+
+
+def test_autocorr_error_contracts(spark):
+    df = spark.createDataFrame([("a", 0, 1.0)], "k string, t long, v double")
+    with pytest.raises(IntervalSchemaError):
+        autocorr(df, "t", "v", ["k"], max_lag=0)
+    with pytest.raises(IntervalSchemaError):
+        autocorr(df, "t", "nope", ["k"])
+    with pytest.raises(IntervalSchemaError):
+        autocorr(df, "t", "v", [])
