@@ -767,3 +767,90 @@ def autocorr(
         "n_pairs",
         (F.round(acf, 6) + F.lit(0.0)).alias("acf"),
     )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_vars: Sequence[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-key robust outliers: points whose absolute deviation from the
+    key's MEDIAN exceeds ``k`` × MAD (median absolute deviation) — the
+    distribution-free complement of :func:`~intervalaverage_spark.
+    operators.changepoint.cusum` (CUSUM finds sustained LEVEL SHIFTS
+    against a mean/σ calibration that outliers themselves corrupt; MAD
+    has a 50% breakdown point, so this finds the POINT anomalies even
+    when half the data is junk — the right screen for crawl-metric
+    spikes, bot bursts, parser glitches).
+
+    Exactness discipline: values collapse to 6-dp decimal means per
+    (key, ts) first (:func:`~intervalaverage_spark.operators.
+    changepoint.cusum_points` — same total-order precondition as the
+    rest of the family); median and MAD are exact linear-interpolation
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    the E25 precedent), each 6-dp-rounded back to decimal; the flag
+    compare ``|x − med| > k·mad`` runs ENTIRELY in decimal, so the
+    anomaly SET is cross-engine exact, not approximately. ``rz`` is the
+    robust z-score ``(x − med) / (1.4826·mad)`` — one fixed-order float
+    expression, 6-dp, −0.0-normalised; NULL when ``mad = 0`` (where the
+    flag degenerates to ``x ≠ med``, documented rather than NaN).
+
+    Returns only the anomalous points: ``(*group_vars, ts_col, x, med,
+    mad, rz)`` with x/med/mad as 6-dp doubles.
+
+    Scale shape: two aggregations on the key (median, then MAD of the
+    deviations) and two key-equi joins back — the stats relations are
+    one row per key, so AQE broadcasts them when small and the joins
+    stay co-partitioned with the collapse otherwise; no window, no
+    sort, no UDF; a hot key costs two percentile folds of its history,
+    never a cross join. Exact percentile buffers a key's values inside
+    the aggregate — for the 10^9-key/short-series regime this is the
+    right trade; for million-point single keys compose with the
+    histogram sketch (functions/quantiles.py) instead.
+    """
+    from intervalaverage_spark.operators.changepoint import cusum_points
+
+    if not group_vars:
+        raise IntervalSchemaError(
+            "robust_anomalies: group_vars must be non-empty")
+    for c in (ts_col, value_col, *group_vars):
+        if c not in df.columns:
+            raise IntervalSchemaError(
+                f"robust_anomalies: missing column {c!r}")
+    if not (k == k) or k < 0:  # NaN or negative
+        raise IntervalDataError(
+            f"robust_anomalies: k must be >= 0, got {k}")
+    g = list(group_vars)
+    kd = F.lit(round(float(k), 6)).cast("decimal(18,6)")
+    pts = cusum_points(df, ts_col, value_col, g)
+
+    med = pts.groupBy(*g).agg(
+        F.round(F.percentile(F.col("x").cast("double"), F.lit(0.5)), 6)
+        .cast("decimal(18,6)").alias("__med")
+    )
+    dev = pts.join(med, g).select(
+        *g, ts_col, "x", "__med",
+        F.abs(F.col("x") - F.col("__med")).alias("__dev"),
+    )
+    mad = dev.groupBy(*g).agg(
+        F.round(F.percentile(F.col("__dev").cast("double"), F.lit(0.5)), 6)
+        .cast("decimal(18,6)").alias("__mad")
+    )
+    flagged = dev.join(mad, g).where(
+        F.col("__dev") > kd * F.col("__mad")
+    )
+    rz = F.when(
+        F.col("__mad") > 0,
+        (F.col("x") - F.col("__med")).cast("double")
+        / (F.lit(1.4826) * F.col("__mad").cast("double")),
+    )
+    return flagged.select(
+        *g,
+        ts_col,
+        F.col("x").cast("double").alias("x"),
+        F.col("__med").cast("double").alias("med"),
+        F.col("__mad").cast("double").alias("mad"),
+        (F.round(rz, 6) + F.lit(0.0)).alias("rz"),
+    )

@@ -2296,6 +2296,50 @@ FROM e
 """
 
 
+def q_robust_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers per event_type (E72,
+    operators/analytics.py robust_anomalies): points whose absolute
+    deviation from the key median exceeds 3×MAD — the 50%-breakdown
+    point-anomaly screen beside CUSUM's level-shift detector. The flag
+    compare runs entirely in decimal, so the anomaly SET is
+    cross-engine exact; rz is one fixed-order float, 6-dp."""
+    from intervalaverage_spark.operators.analytics import robust_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return robust_anomalies(ev, "ts", "value", ["event_type"], k=3.0)
+
+
+_ROBUST_ANOMALIES_SQL = """
+WITH pts AS (
+  SELECT event_type, ts,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+med AS (
+  SELECT event_type,
+         CAST(ROUND(quantile_cont(CAST(x AS DOUBLE), 0.5), 6)
+              AS DECIMAL(18,6)) AS md
+  FROM pts GROUP BY 1),
+dev AS (
+  SELECT p.event_type AS event_type, ts, x, md,
+         ABS(x - md) AS dv
+  FROM pts p JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type,
+         CAST(ROUND(quantile_cont(CAST(dv AS DOUBLE), 0.5), 6)
+              AS DECIMAL(18,6)) AS mv
+  FROM dev GROUP BY 1)
+SELECT d.event_type AS event_type, ts, CAST(x AS DOUBLE) AS x,
+       CAST(md AS DOUBLE) AS med, CAST(mv AS DOUBLE) AS mad,
+       CASE WHEN mv > 0
+            THEN ROUND(CAST(x - md AS DOUBLE)
+                       / (1.4826 * CAST(mv AS DOUBLE)), 6) + 0 END AS rz
+FROM dev d JOIN mad USING (event_type)
+WHERE dv > CAST(3.0 AS DECIMAL(18,6)) * mv
+"""
+
+
 def q_ivf_train_quality_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2541,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": q_cusum_events,
         "trend_events": q_trend_events,
         "autocorr_events": q_autocorr_events,
+        "robust_anomalies_events": q_robust_anomalies_events,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -2608,6 +2653,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": _cusum_sql(),
         "trend_events": _TREND_SQL,
         "autocorr_events": _AUTOCORR_SQL,
+        "robust_anomalies_events": _ROBUST_ANOMALIES_SQL,
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

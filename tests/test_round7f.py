@@ -248,3 +248,109 @@ def test_autocorr_error_contracts(spark):
         autocorr(df, "t", "nope", ["k"])
     with pytest.raises(IntervalSchemaError):
         autocorr(df, "t", "v", [])
+
+
+# --------------------------------------------------- E72 robust anomalies
+
+
+def _median6(vals):
+    """Linear-interpolation median (quantile_cont 0.5), 6-dp round."""
+    s = sorted(vals)
+    n = len(s)
+    mid = (n - 1) * 0.5
+    lo, hi = s[int(mid)], s[int(mid + 0.5)]
+    return round(lo + (hi - lo) * (mid - int(mid)), 6)
+
+
+def _py_mad_anomalies(series_by_key, k):
+    out = set()
+    rzs = {}
+    for key, pts in series_by_key.items():
+        xs = [x for _, x in pts]
+        med = _median6(xs)
+        devs = [round(abs(round(x * 1e6) - round(med * 1e6)) / 1e6, 6)
+                for x in xs]
+        mad = _median6(devs)
+        kmu = round(k * 1e6) * round(mad * 1e6)  # micro^2 exact compare
+        for (t, x), dv in zip(pts, devs):
+            if round(dv * 1e6) * 1000000 > kmu:
+                out.add((key, t))
+                rzs[(key, t)] = (
+                    round((x - med) / (1.4826 * mad), 6) + 0.0
+                    if mad > 0 else None
+                )
+    return out, rzs
+
+
+def test_mad_python_replay(spark):
+    from intervalaverage_spark.operators.analytics import robust_anomalies
+
+    g = _lcg(41)
+    data, series = [], {}
+    for key in ("a", "b"):
+        pts = []
+        for i in range(60):
+            v = (next(g) % 2000) / 1000.0
+            if i % 17 == 0:
+                v += 25.0  # planted spikes
+            pts.append((i, v))
+            data.append((key, i, v))
+        series[key] = pts
+    df = spark.createDataFrame(data, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    got = rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0))
+    want_set, want_rz = _py_mad_anomalies(series, 3.0)
+    got_set = {(r["k"], int(r["ts"].timestamp())) for r in got}
+    assert got_set == want_set and len(want_set) >= 4
+    for r in got:
+        assert r["rz"] == want_rz[(r["k"], int(r["ts"].timestamp()))]
+
+
+def test_mad_planted_spike_only(spark):
+    from intervalaverage_spark.operators.analytics import robust_anomalies
+
+    data = [("a", i, 10.0 + (i % 3) * 0.5) for i in range(30)]
+    data.append(("a", 30, 500.0))
+    df = spark.createDataFrame(data, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    got = rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0))
+    assert len(got) == 1 and got[0]["x"] == 500.0 and got[0]["rz"] > 0
+
+
+def test_mad_zero_mad_flags_nonmedian(spark):
+    from intervalaverage_spark.operators.analytics import robust_anomalies
+
+    # >50% of points identical -> med = 7, mad = 0: flag = (x != med),
+    # rz NULL (documented degenerate contract)
+    data = [("a", i, 7.0) for i in range(10)] + [("a", 10, 7.1)]
+    df = spark.createDataFrame(data, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    got = rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0))
+    assert len(got) == 1 and got[0]["x"] == 7.1 and got[0]["rz"] is None
+
+
+def test_mad_constant_series_silent(spark):
+    from intervalaverage_spark.operators.analytics import robust_anomalies
+
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(8)], "k string, t long, v double"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
+
+
+def test_mad_error_contracts(spark):
+    from intervalaverage_spark.operators.analytics import robust_anomalies
+    from intervalaverage_spark.validation import IntervalDataError
+
+    df = spark.createDataFrame([("a", 0, 1.0)], "k string, t long, v double")
+    with pytest.raises(IntervalSchemaError):
+        robust_anomalies(df, "t", "nope", ["k"])
+    with pytest.raises(IntervalSchemaError):
+        robust_anomalies(df, "t", "v", [])
+    with pytest.raises(IntervalDataError):
+        robust_anomalies(df, "t", "v", ["k"], k=-1.0)
+    with pytest.raises(IntervalDataError):
+        robust_anomalies(df, "t", "v", ["k"], k=float("nan"))
