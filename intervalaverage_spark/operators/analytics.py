@@ -620,19 +620,52 @@ def trend(
         if c not in df.columns:
             raise IntervalSchemaError(f"trend: missing column {c!r}")
     g = list(group_vars)
-    pts = df.where(F.col(value_col).isNotNull()).select(
+    pts = trend_points(df, ts_col, value_col, g)
+    return trend_from_moments(trend_moments(pts, g, trend_t0(pts, g)))
+
+
+def trend_points(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_vars: Sequence[str],
+) -> DataFrame:
+    """The ``(…keys, __t epoch-seconds, __x 6-dp decimal)`` projection
+    shared by the batch and STREAMING trend paths (NULLs excluded) —
+    factored out so both compute moments over bit-identical inputs."""
+    g = list(group_vars)
+    return df.where(F.col(value_col).isNotNull()).select(
         *g,
         F.col(ts_col).cast("timestamp").cast("long").alias("__t"),
         F.round(F.col(value_col).cast("double"), 6)
         .cast("decimal(18,6)").alias("__x"),
     )
-    t0 = pts.groupBy(*g).agg(F.min("__t").alias("t0"))
+
+
+def trend_t0(pts: DataFrame, group_vars: Sequence[str]) -> DataFrame:
+    """Per-key centring reference ``(…keys, t0 = min __t)`` — batch
+    computes it inline; the streaming path takes it as the OFFLINE
+    CALIBRATION artifact (the cusum mu/kappa/h pattern)."""
+    return pts.groupBy(*group_vars).agg(F.min("__t").alias("t0"))
+
+
+def trend_moments(
+    pts: DataFrame, group_vars: Sequence[str], t0: DataFrame
+) -> DataFrame:
+    """EXACT decimal moment fold ``(t0, n, Σu, Σx, Σux, Σu², Σx²)`` with
+    time centred on the supplied ``t0`` relation. Every sum is an
+    associative decimal aggregate, so the SAME fold runs as a native
+    Structured Streaming aggregation (streaming/sketch_stream.py
+    streaming_trend_moments) with state = one row per key — and a
+    bounded streaming replay's moments equal this batch fold
+    bit-for-bit."""
+    g = list(group_vars)
     ctr = pts.join(t0, g).select(
         *g, "t0",
         (F.col("__t") - F.col("t0")).cast("decimal(12,0)").alias("__u"),
         "__x",
     )
-    m = ctr.groupBy(*g).agg(
+    return ctr.groupBy(*g).agg(
         F.max("t0").alias("t0"),
         F.count(F.lit(1)).alias("n_points"),
         F.sum("__u").alias("_su"),
@@ -641,6 +674,16 @@ def trend(
         F.sum(F.col("__u") * F.col("__u")).alias("_suu"),
         F.sum(F.col("__x") * F.col("__x")).alias("_sxx"),
     )
+
+
+def trend_from_moments(m: DataFrame) -> DataFrame:
+    """Closed-form slope/intercept/r² from a :func:`trend_moments`
+    relation — each ONE fixed-order float expression, 6-dp rounded,
+    −0.0-normalised; NULL for degenerate fits. Runs identically on the
+    batch fold and on a streamed moments sink, which is what pins
+    stream == batch exactly."""
+    g = [c for c in m.columns
+         if c not in ("t0", "n_points", "_su", "_sx", "_sux", "_suu", "_sxx")]
     n = F.col("n_points").cast("double")
     su = F.col("_su").cast("double")
     sx = F.col("_sx").cast("double")

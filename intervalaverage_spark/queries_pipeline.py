@@ -2296,6 +2296,53 @@ FROM e
 """
 
 
+def q_streaming_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trend (E71, streaming/sketch_stream.py
+    streaming_trend_moments): the E66 drift statistic maintained at
+    ingest — per-key exact decimal moments as a NATIVE streaming
+    aggregation (state = one row of sums per key, no watermark, no
+    custom state operator), centred on an offline-calibrated t0
+    relation (the cusum deployment pattern). Closed forms run on the
+    emitted moments as a tiny batch step. Oracle = the SAME SQL as the
+    batch trend_events row: decimal sums are associative and exact, so
+    an availableNow replay equals batch trend bit-for-bit — the E59/E63
+    equality contract extended to a five-sum statistic."""
+    from intervalaverage_spark.operators.analytics import (
+        trend_from_moments,
+        trend_points,
+        trend_t0,
+    )
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_trend_moments,
+    )
+
+    keys = ("user_id", "event_type")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cal = trend_t0(trend_points(ev, "ts", "value", list(keys)), list(keys))
+
+    schema = ev.schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type", "ts", "value")
+    )
+    m = streaming_trend_moments(src, "ts", "value", keys, cal)
+    name = "q_streaming_trend_events"
+    q = (
+        m.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_trend: availableNow query did not finish within "
+            "300s; refusing to compare a truncated sink"
+        )
+    q.stop()
+    return trend_from_moments(spark.table(name))
+
+
 def q_robust_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outliers per event_type (E72,
     operators/analytics.py robust_anomalies): points whose absolute
@@ -2586,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_events": q_trend_events,
         "autocorr_events": q_autocorr_events,
         "robust_anomalies_events": q_robust_anomalies_events,
+        "streaming_trend_events": q_streaming_trend_events,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -2654,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_events": _TREND_SQL,
         "autocorr_events": _AUTOCORR_SQL,
         "robust_anomalies_events": _ROBUST_ANOMALIES_SQL,
+        "streaming_trend_events": _TREND_SQL,
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

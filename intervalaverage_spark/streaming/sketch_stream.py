@@ -82,3 +82,48 @@ def streaming_hist_registers(
     return hist_registers(
         stream_df, value_col, lo, hi, bins, group_cols=list(group_cols)
     )
+
+
+def streaming_trend_moments(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_vars: tuple[str, ...],
+    t0_df: DataFrame,
+) -> DataFrame:
+    """Streaming OLS-trend moments (the E66 statistic maintained AT
+    INGEST): the exact decimal fold ``(n, Σu, Σx, Σux, Σu², Σx²)`` as a
+    native streaming aggregation — state is ONE ROW of decimal sums per
+    key however long the stream runs, no watermark (sums only grow),
+    no custom state operator. "Is this metric drifting, and how fast,
+    RIGHT NOW?" becomes a per-key state entry updated per micro-batch;
+    the closed forms (:func:`~intervalaverage_spark.operators.analytics.
+    trend_from_moments`) run on the emitted moments as a tiny batch
+    step.
+
+    ``t0_df`` is the OFFLINE CALIBRATION artifact (the cusum mu/kappa/h
+    deployment pattern): per-key centring references from
+    :func:`~intervalaverage_spark.operators.analytics.trend_t0` over
+    history — centring must be FIXED for the fold to be mergeable (a
+    running min would re-centre past contributions). The stream-static
+    inner join means only calibrated keys are monitored; ship new keys
+    by appending calibration rows.
+
+    Equality contract: after an ``availableNow`` replay of a bounded
+    source, the emitted moments equal the batch
+    :func:`~intervalaverage_spark.operators.analytics.trend_moments`
+    fold bit-for-bit (decimal sums are associative and exact — order-
+    and batching-insensitive), so stream slope/intercept/r² == batch
+    trend EXACTLY, not approximately. Use ``outputMode("complete")``.
+
+    The batch fold IS the streaming fold (select + join-static +
+    groupBy of associative aggregates) — this wrapper delegates
+    verbatim; Catalyst swaps in the state-store-backed aggregate when
+    the input is a streaming relation."""
+    from intervalaverage_spark.operators.analytics import (
+        trend_moments,
+        trend_points,
+    )
+
+    pts = trend_points(stream_df, ts_col, value_col, list(group_vars))
+    return trend_moments(pts, list(group_vars), t0_df)

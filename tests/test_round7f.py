@@ -341,6 +341,87 @@ def test_mad_constant_series_silent(spark):
     assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
 
 
+# ----------------------------------------------------- E71 streaming trend
+
+
+def _tstamp(sec):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=sec)
+
+
+def test_streaming_trend_equals_batch_across_microbatches(spark, tmp_path):
+    """Three parquet files streamed one per micro-batch: the per-key
+    decimal-moment state must make an availableNow replay equal the
+    batch trend BIT-FOR-BIT (sums are associative and exact — order-
+    AND batching-insensitive, so unlike CUSUM no ordering boundary is
+    even needed)."""
+    from intervalaverage_spark.operators.analytics import (
+        trend,
+        trend_from_moments,
+        trend_points,
+        trend_t0,
+    )
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_trend_moments,
+    )
+
+    src_dir = str(tmp_path / "trend_src")
+    g = _lcg(59)
+    for part in range(3):
+        rows_in = [
+            (k, _tstamp(t * 60),
+             3.0 + 0.01 * t + (next(g) % 1000) / 1000.0)
+            for k in ("a", "b")
+            for t in range(part * 25, (part + 1) * 25)
+        ]
+        (spark.createDataFrame(rows_in, ["k", "ts", "v"])
+         .coalesce(1).write.mode("append").parquet(src_dir))
+    full = spark.read.parquet(src_dir)
+    want = rows(trend(full, "ts", "v", ["k"]), "k")
+
+    cal = trend_t0(trend_points(full, "ts", "v", ["k"]), ["k"])
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    m = streaming_trend_moments(stream, "ts", "v", ("k",), cal)
+    name = "t_stream_trend"
+    q = (m.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    assert q.lastProgress["batchId"] >= 1  # state actually carried
+    got = rows(trend_from_moments(spark.table(name)), "k")
+    assert got == want
+    assert len(got) == 2 and all(r["slope"] is not None for r in got)
+
+
+def test_streaming_trend_uncalibrated_keys_dropped(spark, tmp_path):
+    """The stream-static inner join is the monitoring contract: keys
+    absent from the calibration relation emit nothing."""
+    from intervalaverage_spark.operators.analytics import (
+        trend_from_moments,
+    )
+    from intervalaverage_spark.streaming.sketch_stream import (
+        streaming_trend_moments,
+    )
+
+    src_dir = str(tmp_path / "trend_src2")
+    rows_in = [(k, _tstamp(t), float(t)) for k in ("a", "zz")
+               for t in range(10)]
+    (spark.createDataFrame(rows_in, ["k", "ts", "v"])
+     .coalesce(1).write.mode("overwrite").parquet(src_dir))
+    full = spark.read.parquet(src_dir)
+    cal = spark.createDataFrame(
+        [("a", int(_tstamp(0).timestamp()))], "k string, t0 long")
+    stream = spark.readStream.schema(full.schema).parquet(src_dir)
+    m = streaming_trend_moments(stream, "ts", "v", ("k",), cal)
+    name = "t_stream_trend2"
+    q = (m.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    got = rows(trend_from_moments(spark.table(name)), "k")
+    assert [r["k"] for r in got] == ["a"]
+
+
 def test_mad_error_contracts(spark):
     from intervalaverage_spark.operators.analytics import robust_anomalies
     from intervalaverage_spark.validation import IntervalDataError
