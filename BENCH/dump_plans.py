@@ -1119,6 +1119,96 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.operators.coalesce import interval_concurrency
+
+    add(
+        "interval_concurrency (sweep line as explode + prefix sum)",
+        interval_concurrency(q.orders_x(spark, f"{sf}"), ("s", "e"),
+                             ["custkey"], sort=False),
+        must=["Generate", "HashAggregate", "Window"],
+        must_not=["Join", "CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Concurrency depth (E69): each interval explodes map-side "
+            "into ±1 delta events (Generate — ONE scan of the source, "
+            "not a self-union), nets collapse per (key, t) in a "
+            "partially-aggregated exchange, and one key-partitioned "
+            "window prefix-sum IS the sweep line. NO JOIN AT ALL — the "
+            "naive formulation (points range-joined against intervals) "
+            "would shuffle x once per probe granularity; this is two "
+            "exchanges total regardless of depth or history length."
+        ),
+    )
+
+    from intervalaverage_spark.operators.analytics import (
+        autocorr as _autocorr,
+        robust_anomalies as _mad,
+    )
+
+    ev_raw = spark.read.parquet(f"{sf}/events.parquet")
+    add(
+        "autocorr (one window sort emits every lag)",
+        _autocorr(ev_raw, "ts", "value", ["event_type"], max_lag=3),
+        must=["Window", "Generate", "HashAggregate"],
+        must_not=["Join", "CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Sequence autocorrelation (E70): the duplicate collapse is "
+            "one partially-aggregated exchange; ONE window sort produces "
+            "all max_lag lead columns; the (lag, a, b) pair explode is "
+            "map-side (Generate) and the exact-decimal moment fold "
+            "combines map-side on (key, lag). No join — a hot key's "
+            "history is sorted once, never materialised per lag."
+        ),
+    )
+
+    add(
+        "robust_anomalies (median/MAD, decimal flag compare)",
+        _mad(ev_raw, "ts", "value", ["event_type"], k=3.0),
+        must=["HashAggregate", "Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas", "Window"],
+        note=(
+            "MAD outliers (E72): two aggregations on the key (median, "
+            "then MAD of deviations) and two key-EQUI joins back; the "
+            "stats relations are one row per key so AQE broadcasts them "
+            "when small. ObjectHashAggregate is EXPECTED here — exact "
+            "percentile is a typed imperative aggregate that buffers a "
+            "key's values (the documented trade; the histogram sketch is "
+            "the million-point-key path). No window, no sort, no Python; "
+            "the anomaly-set compare runs entirely in decimal."
+        ),
+    )
+
+    from intervalaverage_spark.operators.analytics import (
+        trend_moments,
+        trend_points,
+        trend_t0,
+    )
+
+    _tp = trend_points(ev_raw, "ts", "value", ["user_id", "event_type"])
+    add(
+        "trend_moments (the fold streaming_trend_moments state-stores)",
+        trend_moments(_tp, ["user_id", "event_type"],
+                      trend_t0(_tp, ["user_id", "event_type"])),
+        must=["HashAggregate", "Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Streaming trend (E71) audits through its batch twin: the "
+            "moment fold is select + static-join(t0) + groupBy of "
+            "associative decimal sums — exactly the shape Catalyst swaps "
+            "for the state-store-backed streaming aggregate (one state "
+            "row of sums per key, no watermark, map-side partials per "
+            "micro-batch). The closed forms run post-sink on a "
+            "key-cardinality relation. Stream == batch bit-for-bit is "
+            "driver-oracled (streaming_trend_events pins to the SAME SQL "
+            "as trend_events) and multi-micro-batch pytest'd."
+        ),
+    )
+
     import shutil as _shutil
 
     _shutil.rmtree(ivf_tmp, ignore_errors=True)

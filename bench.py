@@ -193,6 +193,13 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         "cusum_events",
         "trend_events",
         "interval_difference_orders",
+        # round-7 sixth wave: sweep-line concurrency (E69 — explode +
+        # prefix sum, no join), lag-k autocorrelation (E70 — one window
+        # sort, map-side pair explode), MAD robust outliers (E72 — two
+        # percentile folds + two key-equi joins)
+        "interval_concurrency_orders",
+        "autocorr_events",
+        "robust_anomalies_events",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
