@@ -812,6 +812,90 @@ def autocorr(
     )
 
 
+def cadence_stats(
+    df: DataFrame,
+    ts_col: str,
+    group_vars: Sequence[str],
+) -> DataFrame:
+    """Per-key inter-arrival (cadence) statistics: the distribution of
+    gaps between consecutive DISTINCT observation times — "how often is
+    this url recrawled / this sensor heard from, and how regular is
+    it". The scheduling-side companion of the recrawl-priority score
+    (E48 ranks what to fetch next; this measures what the historical
+    cadence actually was, and its regularity feeds the churn model).
+
+    Gaps are in integer seconds between distinct timestamps (duplicate
+    ts collapse first — cadence is about observation TIMES, not row
+    multiplicity). Per key: ``n_obs`` distinct times, ``n_gaps`` =
+    n_obs − 1, min/max gap, ``mean_gap`` (exact decimal sum → one
+    divide, 6-dp), ``p50_gap``/``p95_gap`` (exact linear-interpolation
+    percentiles — Spark ``percentile`` == DuckDB ``quantile_cont``),
+    and ``cv_gap`` = population σ/μ from exact decimal moments (ONE
+    fixed-order float, 6-dp; cv 0 = metronome, ≥1 = bursty). Keys with
+    a single observation emit ``n_gaps = 0`` with NULL gap statistics.
+
+    Scale shape: the distinct-ts collapse is one partially-aggregated
+    exchange; ONE key-partitioned window (lag) produces the gaps; the
+    stats fold is a single aggregation on the same key (decimal sums
+    combine map-side; the two exact percentiles buffer a key's gaps —
+    the documented short-series trade, same as robust_anomalies). No
+    join; per-key cost is one sorted scan of its distinct times.
+    """
+    if not group_vars:
+        raise IntervalSchemaError(
+            "cadence_stats: group_vars must be non-empty")
+    for c in (ts_col, *group_vars):
+        if c not in df.columns:
+            raise IntervalSchemaError(
+                f"cadence_stats: missing column {c!r}")
+    g = list(group_vars)
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    obs = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*g, t.alias("__t"))
+        .agg(F.count(F.lit(1)).alias("__dup"))
+        .drop("__dup")
+    )
+    w = Window.partitionBy(*g).orderBy("__t")
+    gaps = obs.select(
+        *g,
+        (F.col("__t") - F.lag("__t").over(w)).alias("__gap"),
+    )
+    gd = F.col("__gap").cast("decimal(18,0)")
+    agg = gaps.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count("__gap").alias("n_gaps"),
+        F.min("__gap").alias("min_gap"),
+        F.max("__gap").alias("max_gap"),
+        F.sum(gd).alias("_sg"),
+        F.sum(gd * gd).alias("_sgg"),
+        F.percentile(F.col("__gap").cast("double"), F.lit(0.5))
+        .alias("_p50"),
+        F.percentile(F.col("__gap").cast("double"), F.lit(0.95))
+        .alias("_p95"),
+    )
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("_sg").cast("double")
+    sgg = F.col("_sgg").cast("double")
+    mean_gap = F.when(F.col("n_gaps") > 0, sg / n)
+    # population cv = sqrt(n·Σg² − (Σg)²) / Σg  (σ/μ with one fixed order)
+    cv = F.when(
+        (F.col("n_gaps") > 0) & (sg > 0.0),
+        F.sqrt(F.greatest(F.lit(0.0), n * sgg - sg * sg)) / sg,
+    )
+    return agg.select(
+        *g,
+        "n_obs",
+        "n_gaps",
+        "min_gap",
+        "max_gap",
+        F.round(mean_gap, 6).alias("mean_gap"),
+        F.round("_p50", 6).alias("p50_gap"),
+        F.round("_p95", 6).alias("p95_gap"),
+        F.round(cv, 6).alias("cv_gap"),
+    )
+
+
 def robust_anomalies(
     df: DataFrame,
     ts_col: str,

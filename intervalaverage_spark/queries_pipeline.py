@@ -2343,6 +2343,55 @@ def q_streaming_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_from_moments(spark.table(name))
 
 
+def q_cadence_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) inter-arrival cadence statistics (E73,
+    operators/analytics.py cadence_stats): gap distribution between
+    consecutive distinct observation times — recrawl-scheduling's
+    measurement side. Exact decimal gap moments + exact percentiles;
+    one window + one fold, no join."""
+    from intervalaverage_spark.operators.analytics import cadence_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cadence_stats(ev, "ts", ["user_id", "event_type"])
+
+
+_CADENCE_SQL = """
+WITH obs AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE ts IS NOT NULL),
+gaps AS (
+  SELECT user_id, event_type,
+         t - LAG(t) OVER (PARTITION BY user_id, event_type ORDER BY t)
+           AS gap
+  FROM obs),
+agg AS (
+  SELECT user_id, event_type,
+         COUNT(*) AS n_obs, COUNT(gap) AS n_gaps,
+         MIN(gap) AS min_gap, MAX(gap) AS max_gap,
+         SUM(CAST(gap AS DECIMAL(18,0))) AS sg,
+         SUM(CAST(gap AS DECIMAL(18,0)) * CAST(gap AS DECIMAL(18,0)))
+           AS sgg,
+         quantile_cont(CAST(gap AS DOUBLE), 0.5) AS p50,
+         quantile_cont(CAST(gap AS DOUBLE), 0.95) AS p95
+  FROM gaps GROUP BY 1, 2)
+SELECT user_id, event_type,
+       CAST(n_obs AS BIGINT) AS n_obs, CAST(n_gaps AS BIGINT) AS n_gaps,
+       min_gap, max_gap,
+       CASE WHEN n_gaps > 0
+            THEN ROUND(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6)
+            END AS mean_gap,
+       ROUND(p50, 6) AS p50_gap, ROUND(p95, 6) AS p95_gap,
+       CASE WHEN n_gaps > 0 AND CAST(sg AS DOUBLE) > 0.0
+            THEN ROUND(sqrt(GREATEST(0.0,
+                   CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                   - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
+                 / CAST(sg AS DOUBLE), 6)
+            END AS cv_gap
+FROM agg
+"""
+
+
 def q_robust_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outliers per event_type (E72,
     operators/analytics.py robust_anomalies): points whose absolute
@@ -2634,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_events": q_autocorr_events,
         "robust_anomalies_events": q_robust_anomalies_events,
         "streaming_trend_events": q_streaming_trend_events,
+        "cadence_stats_events": q_cadence_stats_events,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -2703,6 +2753,7 @@ def oracle_sql() -> dict[str, str]:
         "autocorr_events": _AUTOCORR_SQL,
         "robust_anomalies_events": _ROBUST_ANOMALIES_SQL,
         "streaming_trend_events": _TREND_SQL,
+        "cadence_stats_events": _CADENCE_SQL,
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

@@ -341,6 +341,86 @@ def test_mad_constant_series_silent(spark):
     assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
 
 
+# ------------------------------------------------------ E73 cadence stats
+
+
+def _py_cadence(times):
+    ts = sorted(set(times))
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    if not gaps:
+        return (len(ts), 0, None, None, None, None, None, None)
+
+    def q(p):
+        s = sorted(gaps)
+        mid = (len(s) - 1) * p
+        lo, hi = s[int(mid)], s[min(int(mid) + 1, len(s) - 1)]
+        return round(lo + (hi - lo) * (mid - int(mid)), 6)
+
+    n, sg, sgg = float(len(gaps)), float(sum(gaps)), float(
+        sum(x * x for x in gaps))
+    cv = (round((max(0.0, n * sgg - sg * sg)) ** 0.5 / sg, 6)
+          if sg > 0 else None)
+    return (len(ts), len(gaps), min(gaps), max(gaps),
+            round(sg / n, 6), q(0.5), q(0.95), cv)
+
+
+def test_cadence_python_replay(spark):
+    from intervalaverage_spark.operators.analytics import cadence_stats
+
+    g = _lcg(71)
+    data, times = [], {}
+    for k in ("a", "b", "c"):
+        ts = sorted({next(g) % 100000 for _ in range(37)})
+        times[k] = ts
+        data += [(k, t) for t in ts]
+    df = spark.createDataFrame(data, "k string, t long").select(
+        "k", F.timestamp_seconds("t").alias("ts"))
+    got = rows(cadence_stats(df, "ts", ["k"]), "k")
+    for r in got:
+        want = _py_cadence(times[r["k"]])
+        assert (r["n_obs"], r["n_gaps"], r["min_gap"], r["max_gap"],
+                r["mean_gap"], r["p50_gap"], r["p95_gap"],
+                r["cv_gap"]) == want
+
+
+def test_cadence_metronome_and_single(spark):
+    from intervalaverage_spark.operators.analytics import cadence_stats
+
+    data = [("m", t * 300) for t in range(20)] + [("solo", 42)]
+    df = spark.createDataFrame(data, "k string, t long").select(
+        "k", F.timestamp_seconds("t").alias("ts"))
+    got = {r["k"]: r for r in rows(cadence_stats(df, "ts", ["k"]))}
+    m = got["m"]
+    assert (m["cv_gap"], m["mean_gap"], m["p50_gap"], m["min_gap"],
+            m["max_gap"]) == (0.0, 300.0, 300.0, 300, 300)
+    s = got["solo"]
+    assert s["n_obs"] == 1 and s["n_gaps"] == 0
+    assert all(s[c] is None for c in
+               ("min_gap", "max_gap", "mean_gap", "p50_gap", "p95_gap",
+                "cv_gap"))
+
+
+def test_cadence_duplicate_ts_collapse(spark):
+    from intervalaverage_spark.operators.analytics import cadence_stats
+
+    data = [("a", 0), ("a", 0), ("a", 10), ("a", 10), ("a", 30)]
+    df = spark.createDataFrame(data, "k string, t long").select(
+        "k", F.timestamp_seconds("t").alias("ts"))
+    got = rows(cadence_stats(df, "ts", ["k"]))
+    assert got[0]["n_obs"] == 3 and got[0]["n_gaps"] == 2
+    assert got[0]["min_gap"] == 10 and got[0]["max_gap"] == 20
+
+
+def test_cadence_error_contracts(spark):
+    from intervalaverage_spark.operators.analytics import cadence_stats
+
+    df = spark.createDataFrame([("a", 0)], "k string, t long")
+    with pytest.raises(IntervalSchemaError):
+        cadence_stats(df, "nope", ["k"])
+    with pytest.raises(IntervalSchemaError):
+        cadence_stats(df, "t", [])
+
+
 # ----------------------------------------------------- E71 streaming trend
 
 
