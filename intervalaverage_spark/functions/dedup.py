@@ -31,7 +31,7 @@ payload extension (north_rule axes A+B).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from intervalaverage_spark.functions.textstats import tokens
@@ -132,6 +132,106 @@ def ngram_jaccard_pairs(
     j = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
     return (
         common.select("id1", "id2", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------- prefix-filtered exact Jaccard
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Doc pairs with TRUE word-``n``-gram Jaccard ≥ ``threshold`` —
+    **lossless** candidate pruning via the PPJoin/SSJoin prefix filter
+    (Xiao et al., WWW'08; Chaudhuri et al., ICDE'06), replacing
+    :func:`ngram_jaccard_pairs`'s ``max_df`` stop-shingle cap (a
+    recall heuristic) with a filter that provably drops NO qualifying
+    pair:
+
+    * **global order**: shingles totally ordered by (document
+      frequency ASC, shingle ASC) — rarest first, so prefixes index
+      the most selective tokens;
+    * **prefix filter**: ``J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉``, hence the
+      ``(|A| − ⌈t·|A|⌉ + 1)``-prefix of A (in the global order) must
+      intersect B's prefix — only PREFIX rows enter the self-join, so
+      boilerplate shingles (high df = late in the order) mostly never
+      join at all, which is exactly what the cap tried to approximate;
+    * **length filter**: ``t·|A| ≤ |B| ≤ |A|/t`` as a join predicate
+      (decimal arithmetic — no float-boundary leaks);
+    * **exact verify**: candidates re-score by full-set
+      ``array_intersect`` (the LSH path's verify idiom), so precision
+      is 1.0 and the reported jaccard is the true one.
+
+    Both ⌈t·|A|⌉ and the length bounds are computed in DECIMAL so the
+    candidate SET is deterministic cross-run (``0.3·10`` never becomes
+    ``2.999…``). Equality ``prefix == uncapped ngram_jaccard_pairs``
+    is pytest-pinned; the driver oracle is the brute-force all-pairs
+    SQL — the losslessness claim is re-checked per round.
+
+    Scale shape: one explode, one shingle-df fold, ONE window sort per
+    doc (rank + size share the partition), a self-equi-join over
+    PREFIX rows only (≈ (1−t)·set size per doc — at t=0.8 that is 5×
+    fewer index rows and ~25× fewer join pairs than the full inverted
+    index, before the df-ascending order's selectivity kicks in), and
+    an array verify that ships each doc's set once per surviving
+    candidate. No caps, no tuning knob that trades recall.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"prefix_jaccard_pairs: threshold must be in (0, 1], "
+            f"got {threshold}")
+    td = F.lit(round(float(threshold), 6)).cast("decimal(9,6)")
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("sh"),
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    wid = Window.partitionBy("id").orderBy("__df", "sh")
+    ranked = sh.join(dfreq, "sh").select(
+        "id", "sh",
+        F.row_number().over(wid).alias("__rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("sz"),
+    )
+    prefix = ranked.where(
+        F.col("__rk") <= F.col("sz") - F.ceil(td * F.col("sz")) + 1
+    ).select("id", "sh", "sz")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (td * F.col("a.sz") <= F.col("b.sz"))
+            & (td * F.col("b.sz") <= F.col("a.sz")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    arrs = sh.groupBy("id").agg(
+        F.collect_set("sh").alias("shs"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    scored = (
+        cand
+        .join(arrs.select(F.col("id").alias("id1"),
+                          F.col("shs").alias("shs1"),
+                          F.col("sz").alias("sz1")), "id1")
+        .join(arrs.select(F.col("id").alias("id2"),
+                          F.col("shs").alias("shs2"),
+                          F.col("sz").alias("sz2")), "id2")
+        .withColumn("common", F.size(F.array_intersect("shs1", "shs2")))
+    )
+    j = F.col("common") / (F.col("sz1") + F.col("sz2") - F.col("common"))
+    return (
+        scored.select("id1", "id2", F.round(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -245,6 +245,40 @@ SELECT id1, id2, ROUND(j, 6) AS jaccard FROM v WHERE ROUND(j, 6) >= 0.5
 """
 
 
+def q_prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard pairs (E74, functions/dedup.py
+    prefix_jaccard_pairs): the PPJoin prefix + length filters prune
+    candidates LOSSLESSLY (no max_df recall knob), then full-set verify.
+    The oracle is deliberately the brute-force all-pairs scan — every
+    driver round re-proves that the pruning drops no qualifying pair."""
+    from intervalaverage_spark.functions.dedup import prefix_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+# brute force on purpose: candidates from the FULL inverted index (no
+# cap, no prefix) — if the Spark side's prefix/length pruning lost a
+# pair, this row goes red
+PREFIX_JACCARD_SQL = rf"""
+WITH {_SHINGLES_SQL},
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.id1, c.id2,
+         len(list_intersect(x.s, y.s))
+           / (x.sz + y.sz - len(list_intersect(x.s, y.s))) AS j
+  FROM cand c
+  JOIN (SELECT doc_id, s, len(s) AS sz FROM sh) x ON x.doc_id = c.id1
+  JOIN (SELECT doc_id, s, len(s) AS sz FROM sh) y ON y.doc_id = c.id2
+)
+SELECT id1, id2, ROUND(j, 6) AS jaccard FROM v WHERE ROUND(j, 6) >= 0.5
+"""
+
+
 def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16, bands=4,
@@ -2684,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_anomalies_events": q_robust_anomalies_events,
         "streaming_trend_events": q_streaming_trend_events,
         "cadence_stats_events": q_cadence_stats_events,
+        "prefix_jaccard_documents": q_prefix_jaccard_documents,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -2754,6 +2789,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_anomalies_events": _ROBUST_ANOMALIES_SQL,
         "streaming_trend_events": _TREND_SQL,
         "cadence_stats_events": _CADENCE_SQL,
+        "prefix_jaccard_documents": PREFIX_JACCARD_SQL,
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

@@ -341,6 +341,76 @@ def test_mad_constant_series_silent(spark):
     assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
 
 
+# --------------------------------------------- E74 prefix-filter Jaccard
+
+
+def _mk_corpus(spark, n_base=40, seed=83):
+    """LCG corpus with planted near-dups and a shared boilerplate
+    sentence (hot shingles) in every doc — the adversarial case the
+    max_df cap exists for, which the prefix filter must survive
+    losslessly."""
+    g = _lcg(seed)
+    boiler = "terms of service apply all rights reserved contact us"
+    docs = []
+    for i in range(n_base):
+        words = " ".join(f"w{next(g) % 500}" for _ in range(30))
+        docs.append((i, f"{words} {boiler}"))
+        if i % 5 == 0:  # planted near-dup: same words, one token changed
+            docs.append((1000 + i, f"{words} extra {boiler}"))
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_prefix_jaccard_equals_uncapped_exact(spark):
+    from intervalaverage_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    d = _mk_corpus(spark)
+    for t in (0.3, 0.5, 0.8):
+        got = rows(prefix_jaccard_pairs(d, threshold=t), "id1", "id2")
+        want = rows(ngram_jaccard_pairs(d, threshold=t, max_df=None),
+                    "id1", "id2")
+        assert got == want, f"threshold {t}"
+    assert len(rows(prefix_jaccard_pairs(d, threshold=0.5))) >= 8
+
+
+def test_prefix_jaccard_exact_threshold_boundary(spark):
+    from intervalaverage_spark.functions.dedup import prefix_jaccard_pairs
+
+    # sets {a b c, b c d} and {b c d, c d e}: J = 1/3 exactly; the
+    # reported jaccard is 6-dp-rounded BEFORE the threshold compare
+    # (the ngram_jaccard_pairs contract), so the inclusive boundary is
+    # the 6-dp value 0.333333, not the unrepresentable 1/3
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "doc_id long, text string"
+    )
+    got = rows(prefix_jaccard_pairs(d, n=3, threshold=0.333333))
+    assert len(got) == 1 and abs(got[0]["jaccard"] - 0.333333) < 1e-9
+    assert rows(prefix_jaccard_pairs(d, n=3, threshold=0.34)) == []
+
+
+def test_prefix_jaccard_t1_exact_sets_only(spark):
+    from intervalaverage_spark.functions.dedup import prefix_jaccard_pairs
+
+    d = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w"), (3, "x y z q")],
+        "doc_id long, text string",
+    )
+    got = rows(prefix_jaccard_pairs(d, threshold=1.0))
+    assert [(r["id1"], r["id2"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_prefix_jaccard_error_contract(spark):
+    from intervalaverage_spark.functions.dedup import prefix_jaccard_pairs
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        prefix_jaccard_pairs(d, threshold=0.0)
+    with pytest.raises(ValueError):
+        prefix_jaccard_pairs(d, threshold=1.5)
+
+
 # ------------------------------------------------------ E73 cadence stats
 
 
