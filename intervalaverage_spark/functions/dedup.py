@@ -201,7 +201,24 @@ def prefix_jaccard_pairs(
     )
     prefix = ranked.where(
         F.col("__rk") <= F.col("sz") - F.ceil(td * F.col("sz")) + 1
-    ).select("id", "sh", "sz")
+    ).select("id", "sh", "sz", "__rk")
+
+    # positional filter (PPJoin's second pruning): for a QUALIFYING pair
+    # the FIRST common token in the global order sits at ranks (i, j)
+    # with every other common token later in both sets, so the true
+    # overlap o ≤ 1 + min(|A|−i, |B|−j); o must also reach the Jaccard
+    # equivalent-overlap bound α = ⌈t/(1+t)·(|A|+|B|)⌉. Filtering
+    # row-wise is lossless: a qualifying pair's first-common row always
+    # passes. α is computed in EXACT integer arithmetic — t as micro-
+    # units P/10^6, α = ⌈P·S / (10^6+P)⌉ via (num + den − 1) div den —
+    # so no decimal-division rounding mode can ever over-tighten it.
+    p_micro = int(round(float(threshold) * 1_000_000))
+    num = F.lit(p_micro) * (F.col("a.sz") + F.col("b.sz"))
+    den = F.lit(1_000_000 + p_micro)
+    alpha = ((num + den - 1) - (num + den - 1) % den) / den
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.__rk"), F.col("b.sz") - F.col("b.__rk")
+    )
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -210,7 +227,8 @@ def prefix_jaccard_pairs(
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.id") < F.col("b.id"))
             & (td * F.col("a.sz") <= F.col("b.sz"))
-            & (td * F.col("b.sz") <= F.col("a.sz")),
+            & (td * F.col("b.sz") <= F.col("a.sz"))
+            & (ubound.cast("double") >= alpha),
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
