@@ -1226,6 +1226,31 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.functions import urlnorm as _U
+
+    _host = _U.url_host(F.col("text"))
+    add(
+        "url_normalize (pure codegen expressions on the scan)",
+        docs_raw.select(
+            "doc_id",
+            _U.url_normalize(F.col("text")).alias("u"),
+            _U.url_registered_domain(_host).alias("d"),
+        ),
+        must=["ReadSchema"],
+        must_not=["Exchange", "Join", "HashAggregate", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        want_codegen=True,
+        note=(
+            "URL canonicalization (E75): every rule (scheme/host case, "
+            "userinfo, www, default ports, trailing slashes, tracking-"
+            "param drop + bytewise param sort, fragment) is regexp/"
+            "array/concat expressions — NO exchange, NO UDF, whole-stage "
+            "codegen on top of the parquet scan, so at 10^12 rows the "
+            "canonical crawl key is free alongside ingest. Rule set "
+            "mirrored 1:1 in the DuckDB oracle (Java∩RE2 regex subset)."
+        ),
+    )
+
     from intervalaverage_spark.operators.analytics import (
         trend_moments,
         trend_points,

@@ -1933,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_trend_events": p["streaming_trend_events"],
         "cadence_stats_events": p["cadence_stats_events"],
         "prefix_jaccard_documents": p["prefix_jaccard_documents"],
+        "url_normalize_documents": p["url_normalize_documents"],
         "streaming_cusum_events": p["streaming_cusum_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
         "interval_difference_orders": q_interval_difference_orders,

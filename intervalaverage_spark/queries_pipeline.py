@@ -279,6 +279,118 @@ SELECT id1, id2, ROUND(j, 6) AS jaccard FROM v WHERE ROUND(j, 6) >= 0.5
 """
 
 
+def q_url_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (E75, functions/urlnorm.py): deterministic
+    messy URLs built from doc_id (mixed case, userinfo, www, default +
+    explicit ports, trailing slashes, tracking params, unsorted query,
+    fragments) are normalized by the module's documented rule set, plus
+    host and heuristic registered-domain extraction. All whole-stage-
+    codegen expressions — at 10^12 rows this is a free map on the scan.
+    The oracle replays the rules 1:1 in DuckDB's regex/list dialect."""
+    from intervalaverage_spark.functions import urlnorm as U
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    raw = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 11 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.lit("WWW.Host"), s(did % 37), F.lit(".Example."),
+        F.when(did % 5 == 0, F.lit("CO.UK")).otherwise(F.lit("COM")),
+        F.when(did % 4 == 0, F.lit(":80"))
+        .when(did % 4 == 1, F.lit(":443"))
+        .when(did % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Path/"), s(did % 13),
+        F.when(did % 3 == 0, F.lit("///"))
+        .when(did % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.when(did % 2 == 0,
+               F.lit("?b=2&utm_source=x&a=1&ref=z&")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    host = U.url_host(raw)
+    return d.select(
+        "doc_id",
+        U.url_normalize(raw).alias("url_norm"),
+        host.alias("host"),
+        U.url_registered_domain(host).alias("reg_domain"),
+    )
+
+
+_URLNORM_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+    CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END ||
+    'WWW.Host' || CAST(doc_id % 37 AS VARCHAR) || '.Example.' ||
+    CASE WHEN doc_id % 5 = 0 THEN 'CO.UK' ELSE 'COM' END ||
+    CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+         WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END ||
+    '/Path/' || CAST(doc_id % 13 AS VARCHAR) ||
+    CASE WHEN doc_id % 3 = 0 THEN '///' WHEN doc_id % 3 = 1 THEN '/'
+         ELSE '' END ||
+    CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=x&a=1&ref=z&'
+         ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS raw
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+      AS scheme,
+    regexp_replace(
+      lower(regexp_replace(
+        regexp_replace(
+          regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+          '^[^@]*@', ''),
+        ':[0-9]*$', '')),
+      '^www\.', '') AS host,
+    regexp_extract(
+      regexp_replace(
+        regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+        '^[^@]*@', ''),
+      ':([0-9]+)$', 1) AS port,
+    regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+      AS path,
+    regexp_extract(raw, '\?([^#]*)', 1) AS q
+  FROM u),
+n AS (
+  SELECT doc_id, scheme, host, port,
+    CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path, '/+$', '') END AS path_norm,
+    array_to_string(
+      list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(
+               x, '^(utm_[^=]*|gclid|fbclid|ref|msclkid)(=|$)'))),
+      '&') AS qs
+  FROM p)
+SELECT doc_id,
+  scheme || '://' || host ||
+  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+            AND NOT (scheme = 'https' AND port = '443')
+       THEN ':' || port ELSE '' END ||
+  path_norm ||
+  CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_norm,
+  host,
+  CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+       WHEN len(string_split(host, '.')) >= 3
+            AND list_contains(
+                  ['co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                   'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                   'com.mx','com.ar','com.tr','co.in','co.kr','co.za',
+                   'co.nz'],
+                  string_split(host, '.')[-2] || '.'
+                  || string_split(host, '.')[-1])
+       THEN string_split(host, '.')[-3] || '.'
+            || string_split(host, '.')[-2] || '.'
+            || string_split(host, '.')[-1]
+       ELSE string_split(host, '.')[-2] || '.'
+            || string_split(host, '.')[-1] END AS reg_domain
+FROM n
+"""
+
+
 def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16, bands=4,
@@ -2719,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_trend_events": q_streaming_trend_events,
         "cadence_stats_events": q_cadence_stats_events,
         "prefix_jaccard_documents": q_prefix_jaccard_documents,
+        "url_normalize_documents": q_url_normalize_documents,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -2790,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_trend_events": _TREND_SQL,
         "cadence_stats_events": _CADENCE_SQL,
         "prefix_jaccard_documents": PREFIX_JACCARD_SQL,
+        "url_normalize_documents": _URLNORM_SQL,
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

@@ -341,6 +341,72 @@ def test_mad_constant_series_silent(spark):
     assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
 
 
+# -------------------------------------------------- E75 url normalization
+
+
+def test_url_normalize_rules(spark):
+    from intervalaverage_spark.functions import urlnorm as U
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/a/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a?a=1&b=2"),
+        ("https://user:pw@Site.ORG:443/Deep//Path///?gclid=1&z=9",
+         "https://site.org/Deep//Path?z=9"),
+        ("https://example.com", "https://example.com/"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("ftp://Files.Example.com:80/pub/", "ftp://files.example.com:80/pub"),
+        ("https://a.b/?ref=tw&fbclid=abc&msclkid=1&utm_medium=m",
+         "https://a.b/"),
+        ("https://a.b/p?one=1&&one=1", "https://a.b/p?one=1&one=1"),
+        ("not a url at all", None),
+        ("//protocol-relative.com/x", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, raw string"
+    )
+    got = rows(
+        df.select("i", U.url_normalize("raw").alias("n")), "i")
+    assert [r["n"] for r in got] == [want for _, want in cases]
+
+
+def test_url_normalize_idempotent(spark):
+    from intervalaverage_spark.functions import urlnorm as U
+
+    df = spark.createDataFrame(
+        [(1, "HTTP://WWW.A.COM:80/x/?utm_a=1&b=2&a=1#f"),
+         (2, "https://u@B.co.UK:8443///"),
+         (3, "https://c.io/p?z=1&y=2")],
+        "i long, raw string",
+    )
+    once = df.select("i", U.url_normalize("raw").alias("n1"))
+    twice = once.select("i", "n1", U.url_normalize("n1").alias("n2"))
+    for r in rows(twice):
+        assert r["n1"] == r["n2"]
+
+
+def test_url_registered_domain(spark):
+    from intervalaverage_spark.functions import urlnorm as U
+
+    cases = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.c.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("shop.example.com.au", "example.com.au"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string")
+    got = rows(df.select(
+        "i", U.url_registered_domain("h").alias("d")), "i")
+    assert [r["d"] for r in got] == [w for _, w in cases]
+    # extra_suffixes extends the heuristic
+    df2 = spark.createDataFrame([(0, "x.y.github.io")], "i long, h string")
+    got2 = rows(df2.select(U.url_registered_domain(
+        "h", extra_suffixes=("github.io",)).alias("d")))
+    assert got2[0]["d"] == "y.github.io"
+
+
 # --------------------------------------------- E74 prefix-filter Jaccard
 
 
