@@ -1226,6 +1226,29 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.plans.skew import salt_plan, skew_profile
+
+    add(
+        "skew_profile + salt_plan (shuffle measured before paid)",
+        skew_profile(ev_raw, ["user_id"]).crossJoin(
+            salt_plan(ev_raw, ["event_type"], 64).agg(
+                F.max("salt").alias("max_salt"))
+        ),
+        must=["HashAggregate"],
+        must_not=["CartesianProduct", "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas", "Window"],
+        note=(
+            "Skew diagnostics (E76): one partially-aggregated count per "
+            "key, then the percentile/ceiling fold runs over KEY-"
+            "cardinality rows, not data rows — profiling a 10^12-row "
+            "table costs one map-side-combined exchange. salt factors "
+            "are exact integer ceilings (no float in the plan); the "
+            "output feeds rangejoin's hot-only salt path. The crossJoin "
+            "here is two 1-row summaries (plan-shape packaging for this "
+            "audit), not a data join."
+        ),
+    )
+
     from intervalaverage_spark.functions import urlnorm as _U
 
     _host = _U.url_host(F.col("text"))

@@ -1934,6 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cadence_stats_events": p["cadence_stats_events"],
         "prefix_jaccard_documents": p["prefix_jaccard_documents"],
         "url_normalize_documents": p["url_normalize_documents"],
+        "skew_profile_events": p["skew_profile_events"],
+        "salt_plan_events": p["salt_plan_events"],
         "streaming_cusum_events": p["streaming_cusum_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
         "interval_difference_orders": q_interval_difference_orders,

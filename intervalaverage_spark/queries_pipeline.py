@@ -279,6 +279,53 @@ SELECT id1, id2, ROUND(j, 6) AS jaccard FROM v WHERE ROUND(j, 6) >= 0.5
 """
 
 
+def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics (E76, plans/skew.py skew_profile): the per-user
+    row-count distribution of the event stream as one summary row —
+    exact count percentiles + the max/p50 straggler predictor. The
+    north rule's 'skew handled explicitly' as queryable data."""
+    from intervalaverage_spark.plans.skew import skew_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_profile(ev, ["user_id"])
+
+
+_SKEW_PROFILE_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+a AS (
+  SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_rows,
+         quantile_cont(CAST(n AS DOUBLE), 0.5) AS p50,
+         quantile_cont(CAST(n AS DOUBLE), 0.95) AS p95,
+         quantile_cont(CAST(n AS DOUBLE), 0.99) AS p99
+  FROM c)
+SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(max_rows AS BIGINT) AS max_rows,
+       ROUND(p50, 6) AS p50_rows, ROUND(p95, 6) AS p95_rows,
+       ROUND(p99, 6) AS p99_rows,
+       CASE WHEN p50 > 0.0
+            THEN ROUND(CAST(max_rows AS DOUBLE) / p50, 6) END AS skew_ratio
+FROM a
+"""
+
+
+def q_salt_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt planning (E76, plans/skew.py salt_plan): per-hot-key salt
+    factors ceil(rows/64) in exact integer arithmetic — the rangejoin
+    hot-only path's inputs derived from data instead of folklore."""
+    from intervalaverage_spark.plans.skew import salt_plan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return salt_plan(ev, ["event_type"], rows_per_task=64)
+
+
+_SALT_PLAN_SQL = """
+WITH c AS (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1)
+SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_rows + 63) // 64 AS BIGINT) AS salt
+FROM c WHERE n_rows > 64
+"""
+
+
 def q_url_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (E75, functions/urlnorm.py): deterministic
     messy URLs built from doc_id (mixed case, userinfo, www, default +
@@ -2832,6 +2879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cadence_stats_events": q_cadence_stats_events,
         "prefix_jaccard_documents": q_prefix_jaccard_documents,
         "url_normalize_documents": q_url_normalize_documents,
+        "skew_profile_events": q_skew_profile_events,
+        "salt_plan_events": q_salt_plan_events,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -2904,6 +2953,8 @@ def oracle_sql() -> dict[str, str]:
         "cadence_stats_events": _CADENCE_SQL,
         "prefix_jaccard_documents": PREFIX_JACCARD_SQL,
         "url_normalize_documents": _URLNORM_SQL,
+        "skew_profile_events": _SKEW_PROFILE_SQL,
+        "salt_plan_events": _SALT_PLAN_SQL,
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

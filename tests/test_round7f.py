@@ -341,6 +341,64 @@ def test_mad_constant_series_silent(spark):
     assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
 
 
+# ------------------------------------------------ E76 skew profile / salt
+
+
+def test_skew_profile_hand_fixture(spark):
+    from intervalaverage_spark.plans.skew import skew_profile
+
+    # keys with counts 1, 2, 3, 10 -> p50 = 2.5, max = 10, ratio = 4.0
+    data = ([("a", i) for i in range(1)] + [("b", i) for i in range(2)]
+            + [("c", i) for i in range(3)] + [("d", i) for i in range(10)])
+    df = spark.createDataFrame(data, "k string, v long")
+    got = rows(skew_profile(df, ["k"]))[0]
+    assert got == {"n_keys": 4, "n_rows": 16, "max_rows": 10,
+                   "p50_rows": 2.5, "p95_rows": 8.95, "p99_rows": 9.79,
+                   "skew_ratio": 4.0}
+
+
+def test_salt_plan_ceilings(spark):
+    from intervalaverage_spark.plans.skew import salt_plan
+
+    data = ([("fits", i) for i in range(64)]
+            + [("just_over", i) for i in range(65)]
+            + [("two", i) for i in range(128)]
+            + [("three", i) for i in range(129)])
+    df = spark.createDataFrame(data, "k string, v long")
+    got = {r["k"]: r["salt"] for r in rows(salt_plan(df, ["k"], 64))}
+    assert got == {"just_over": 2, "two": 2, "three": 3}  # 64 fits -> absent
+
+
+def test_hot_keys_deterministic(spark):
+    from intervalaverage_spark.plans.skew import hot_keys
+
+    data = ([("z", i) for i in range(5)] + [("a", i) for i in range(5)]
+            + [("m", i) for i in range(9)])
+    df = spark.createDataFrame(data, "k string, v long")
+    got = rows(hot_keys(df, ["k"], top_k=2))
+    assert [(r["k"], r["n_rows"], r["rank"]) for r in got] == [
+        ("m", 9, 1), ("a", 5, 2)]  # tie 5-5 broken by key ASC
+
+
+def test_skew_error_contracts(spark):
+    from intervalaverage_spark.plans.skew import (
+        hot_keys,
+        salt_plan,
+        skew_profile,
+    )
+    from intervalaverage_spark.validation import IntervalDataError
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(IntervalSchemaError):
+        skew_profile(df, ["nope"])
+    with pytest.raises(IntervalSchemaError):
+        skew_profile(df, [])
+    with pytest.raises(IntervalDataError):
+        salt_plan(df, ["k"], 0)
+    with pytest.raises(IntervalDataError):
+        hot_keys(df, ["k"], top_k=0)
+
+
 # -------------------------------------------------- E75 url normalization
 
 
