@@ -1249,6 +1249,26 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.functions.packing import chunk_documents
+
+    add(
+        "chunk_documents (context windows, zero-shuffle map)",
+        chunk_documents(docs_raw, "doc_id", "text",
+                        chunk_tokens=40, overlap_tokens=8),
+        must=["Generate", "ReadSchema"],
+        must_not=["Exchange", "Join", "HashAggregate", "BatchEvalPython",
+                  "ArrowEvalPython", "FlatMapGroupsInPandas"],
+        note=(
+            "Document chunking (E77): starts are a sequence() expression, "
+            "the posexplode carries only (id, start) and each chunk is "
+            "sliced ONCE per output row (never a sibling re-evaluation "
+            "of the generator — dedup.py's measured 90× hazard). NO "
+            "exchange: at 10^12 docs chunking fuses into the ingest "
+            "scan; compose chunk → pack_sequences for the training "
+            "pipeline."
+        ),
+    )
+
     from intervalaverage_spark.functions import urlnorm as _U
 
     _host = _U.url_host(F.col("text"))

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from intervalaverage_spark.functions.sharding import assign_shards
-from intervalaverage_spark.functions.textstats import token_count
+from intervalaverage_spark.functions.textstats import token_count, tokens
 from intervalaverage_spark.plans.rangejoin import fdiv
 
 
@@ -122,4 +122,67 @@ def sequence_fill_stats(
                 "fill_fraction"
             ),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split each document into overlapping fixed-token context windows
+    — the PRE-packing training op (:func:`pack_sequences` bins whole
+    short sequences; this cuts LONG documents down to model-window
+    size first; compose chunk → pack for the full pipeline).
+
+    Chunk starts are ``1, 1+stride, …`` (``stride = chunk_tokens −
+    overlap_tokens``) while ``start ≤ max(n − overlap_tokens, 1)`` —
+    every chunk past the first begins with the previous chunk's last
+    ``overlap_tokens`` tokens, the tail is ALWAYS covered (provable:
+    the last start exceeds ``n − overlap − stride``), the final chunk
+    may be short, and docs with ≤ ``chunk_tokens`` tokens (including
+    empty docs) emit exactly one chunk. Tokens are the engine's
+    whitespace tokenizer (functions/textstats.py ``tokens``), so chunk
+    text round-trips through the same contract every other text
+    operator uses.
+
+    Output: ``(id_col, chunk_id 0-based, start_token 1-based,
+    n_tokens, chunk_text)``. Deterministic, all sequence/slice/explode
+    expressions — the explode carries only (id, start) pairs and the
+    token array is sliced ONCE per chunk row (never a sibling
+    re-evaluation of the generator, the measured-90×-slowdown hazard
+    documented in dedup.py).
+
+    Scale shape: pure map — no shuffle at all; at 10^12 docs chunking
+    fuses into the ingest scan like url normalization (E75).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(
+            f"chunk_documents: chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError(
+            "chunk_documents: overlap_tokens must satisfy "
+            f"0 <= overlap < chunk_tokens, got {overlap_tokens}")
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(overlap_tokens), F.lit(1)),
+        F.lit(stride),
+    )
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("__tk"),
+        F.posexplode(starts).alias("chunk_id", "start_token"),
+    )
+    piece = F.slice(F.col("__tk"), F.col("start_token"), chunk_tokens)
+    return ex.select(
+        id_col,
+        "chunk_id",
+        "start_token",
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
     )

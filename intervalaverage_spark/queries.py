@@ -1936,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_documents": p["url_normalize_documents"],
         "skew_profile_events": p["skew_profile_events"],
         "salt_plan_events": p["salt_plan_events"],
+        "chunk_documents": p["chunk_documents"],
         "streaming_cusum_events": p["streaming_cusum_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
         "interval_difference_orders": q_interval_difference_orders,

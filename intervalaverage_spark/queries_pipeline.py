@@ -279,6 +279,39 @@ SELECT id1, id2, ROUND(j, 6) AS jaccard FROM v WHERE ROUND(j, 6) >= 0.5
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (E77, functions/packing.py
+    chunk_documents): every document split into 40-token windows with
+    8-token overlap — the pre-packing training op (compose chunk →
+    pack_sequences for the full pipeline). Pure map, zero shuffle; the
+    oracle replays starts/slices in DuckDB list arithmetic."""
+    from intervalaverage_spark.functions.packing import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(d, "doc_id", "text",
+                           chunk_tokens=40, overlap_tokens=8)
+
+
+_CHUNK_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents),
+st AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(range(1, GREATEST(len(tk) - 8, 1) + 1, 32)) AS s
+  FROM tk)
+SELECT doc_id,
+       CAST((s - 1) // 32 AS INTEGER) AS chunk_id,
+       CAST(s AS INTEGER) AS start_token,
+       CAST(len(list_slice(tk, s, LEAST(s + 39, n))) AS BIGINT)
+         AS n_tokens,
+       COALESCE(array_to_string(list_slice(tk, s, LEAST(s + 39, n)), ' '),
+                '') AS chunk_text
+FROM st
+"""
+
+
 def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostics (E76, plans/skew.py skew_profile): the per-user
     row-count distribution of the event stream as one summary row —
@@ -2881,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_documents": q_url_normalize_documents,
         "skew_profile_events": q_skew_profile_events,
         "salt_plan_events": q_salt_plan_events,
+        "chunk_documents": q_chunk_documents,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -2955,6 +2989,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize_documents": _URLNORM_SQL,
         "skew_profile_events": _SKEW_PROFILE_SQL,
         "salt_plan_events": _SALT_PLAN_SQL,
+        "chunk_documents": _CHUNK_SQL,
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

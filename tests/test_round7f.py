@@ -341,6 +341,90 @@ def test_mad_constant_series_silent(spark):
     assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
 
 
+# ----------------------------------------------------- E77 doc chunking
+
+
+def test_chunk_reconstruction_property(spark):
+    """Chunk 0 + each later chunk minus its overlap head == the doc."""
+    from intervalaverage_spark.functions.packing import chunk_documents
+
+    g = _lcg(97)
+    docs = []
+    for i in range(25):
+        n = next(g) % 120  # includes < chunk and empty-ish docs
+        docs.append((i, " ".join(f"t{next(g) % 1000}" for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    chunk, overlap = 16, 5
+    got = rows(chunk_documents(df, chunk_tokens=chunk,
+                               overlap_tokens=overlap),
+               "doc_id", "chunk_id")
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in docs:
+        want = [t for t in text.split() if t]
+        chunks = by_doc[i]
+        assert chunks[0]["start_token"] == 1
+        rebuilt = chunks[0]["chunk_text"].split()
+        for prev, cur in zip(chunks, chunks[1:]):
+            cur_toks = cur["chunk_text"].split()
+            # stride contract: starts advance by chunk - overlap
+            assert (cur["start_token"] - prev["start_token"]
+                    == chunk - overlap)
+            # overlap head repeats the previous chunk's tail
+            head = cur_toks[:overlap]
+            assert head == rebuilt[cur["start_token"] - 1:
+                                   cur["start_token"] - 1 + len(head)]
+            rebuilt = rebuilt[:cur["start_token"] - 1] + cur_toks
+        assert rebuilt == want, f"doc {i} not reconstructed"
+        assert all(r["n_tokens"] == len(r["chunk_text"].split())
+                   for r in chunks)
+
+
+def test_chunk_short_and_empty_docs(spark):
+    from intervalaverage_spark.functions.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "only four tokens here"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = rows(chunk_documents(df, chunk_tokens=512, overlap_tokens=64),
+               "doc_id")
+    assert [(r["doc_id"], r["chunk_id"], r["n_tokens"]) for r in got] == [
+        (1, 0, 4), (2, 0, 0)]
+
+
+def test_chunk_compose_with_packing(spark):
+    from intervalaverage_spark.functions.packing import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(df, chunk_tokens=16, overlap_tokens=0).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    packed = pack_sequences(chunks, budget=64)
+    out = rows(packed)
+    assert len(out) > 0  # chunk -> pack composes on the same contract
+
+
+def test_chunk_error_contracts(spark):
+    from intervalaverage_spark.functions.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap_tokens=8)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap_tokens=-1)
+
+
 # ------------------------------------------------ E76 skew profile / salt
 
 
