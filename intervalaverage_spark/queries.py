@@ -1937,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile_events": p["skew_profile_events"],
         "salt_plan_events": p["salt_plan_events"],
         "chunk_documents": p["chunk_documents"],
+        "hll_daily_users_events": p["hll_daily_users_events"],
         "streaming_cusum_events": p["streaming_cusum_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
         "interval_difference_orders": q_interval_difference_orders,

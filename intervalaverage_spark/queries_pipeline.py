@@ -279,6 +279,46 @@ SELECT id1, id2, ROUND(j, 6) AS jaccard FROM v WHERE ROUND(j, 6) >= 0.5
 """
 
 
+def q_hll_daily_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct counting (E78): the E58 HLL sketch folded PER
+    TIME BUCKET — "distinct users per day" as ≤2^b register rows per
+    day, the shape a 30d tier stores so per-day sketches MERGE into
+    per-month distincts without recounting (hll_merge is a max — the
+    property COUNT(DISTINCT) fundamentally lacks). n_true rides along
+    per bucket (tiny here; at 10^12 rows it is the quantity you can no
+    longer afford — the sketch is the point)."""
+    from intervalaverage_spark.functions.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        "user_id",
+    )
+    regs = hll_registers(pts, "user_id", b=4, seed="hll7",
+                         group_cols=["day"])
+    est = hll_estimate(regs, 4, group_cols=["day"])
+    true = pts.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_true"))
+    return true.join(est, "day").select("day", "n_true", "hll_est")
+
+
+def _hll_daily_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events),
+regs AS ({_hll_sketch_sql('pts', 'user_id', 'day', 4)}),
+est AS (SELECT day, {_hll_estimate_sql(4, 0.673)} AS hll_est
+        FROM regs GROUP BY day),
+tr AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+       FROM pts GROUP BY day)
+SELECT tr.day AS day, n_true, hll_est FROM tr JOIN est USING (day)
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (E77, functions/packing.py
     chunk_documents): every document split into 40-token windows with
@@ -2915,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile_events": q_skew_profile_events,
         "salt_plan_events": q_salt_plan_events,
         "chunk_documents": q_chunk_documents,
+        "hll_daily_users_events": q_hll_daily_users_events,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -2990,6 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_profile_events": _SKEW_PROFILE_SQL,
         "salt_plan_events": _SALT_PLAN_SQL,
         "chunk_documents": _CHUNK_SQL,
+        "hll_daily_users_events": _hll_daily_sql(),
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

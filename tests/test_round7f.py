@@ -341,6 +341,32 @@ def test_mad_constant_series_silent(spark):
     assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
 
 
+# ------------------------------------------- E78 windowed HLL (tier shape)
+
+
+def test_hll_daily_merge_equals_global(spark):
+    """The tier claim: per-day register sketches MERGE (max per reg)
+    into exactly the whole-period sketch — COUNT(DISTINCT) cannot do
+    this, which is why tiers store registers."""
+    from intervalaverage_spark.functions.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    g = _lcg(113)
+    data = [(next(g) % 30, f"u{next(g) % 400}") for _ in range(2000)]
+    df = spark.createDataFrame(data, "day long, uid string")
+    daily = hll_registers(df, "uid", b=6, seed="t", group_cols=["day"])
+    # N-way merge of the daily sketches = register-wise max (the same
+    # fold hll_merge does pairwise)
+    merged = daily.groupBy("reg").agg(F.max("max_rank").alias("max_rank"))
+    direct = hll_registers(df, "uid", b=6, seed="t")
+    assert (rows(merged, "reg") == rows(direct, "reg"))
+    est_m = rows(hll_estimate(merged, 6))[0]["hll_est"]
+    est_d = rows(hll_estimate(direct, 6))[0]["hll_est"]
+    assert est_m == est_d
+
+
 # ----------------------------------------------------- E77 doc chunking
 
 
