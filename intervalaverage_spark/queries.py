@@ -1937,7 +1937,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile_events": p["skew_profile_events"],
         "salt_plan_events": p["salt_plan_events"],
         "chunk_documents": p["chunk_documents"],
-        "hll_daily_users_events": p["hll_daily_users_events"],
         "streaming_cusum_events": p["streaming_cusum_events"],
         "interval_gaps_orders": q_interval_gaps_orders,
         "interval_difference_orders": q_interval_difference_orders,
@@ -1977,6 +1976,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats_documents": q_lang_stats_documents,
         "checkpoint_resume_metrics": q_checkpoint_resume_metrics,
         "retention_plan_events": q_retention_plan_events,
+        # hll_daily (E78) parked at 51: pure composition of the E58
+        # machinery already in-window at hll_cardinality_documents, and
+        # the swap keeps BOTH rows-only rotation asks (r6 verdict #5)
+        # inside the 50-row driver window; the sf0.01 mirror covers it
+        "hll_daily_users_events": p["hll_daily_users_events"],
         # ---- previously driver-green, still inside the window ----
         "interval_average_events_daily": q_interval_average_events_daily,
         "interval_average_events_daily_2v": q_interval_average_events_daily_2v,
