@@ -201,6 +201,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         "autocorr_events",
         "robust_anomalies_events",
         "cadence_stats_events",
+        "chunk_documents",
+        "url_normalize_documents",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
