@@ -48,7 +48,11 @@ def main() -> None:
             # execution of THIS queryExecution — run it, then re-read.
             df.collect()
             simple = df._jdf.queryExecution().executedPlan().toString()
-            hit = "*(" in simple and "isFinalPlan=true" in simple
+            # a shuffle-free plan never enters AQE, so isFinalPlan only
+            # exists when an AdaptiveSparkPlan wrapper is present at all
+            finalized = ("isFinalPlan=true" in simple
+                         or "AdaptiveSparkPlan" not in simple)
+            hit = "*(" in simple and finalized
             ok &= hit
             checks.append(f"  - whole-stage codegen stages present: {'PASS' if hit else 'FAIL'}")
         sections.append(
