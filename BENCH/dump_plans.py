@@ -1230,6 +1230,25 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.operators.analytics import seasonal_anomalies
+
+    add(
+        "seasonal_anomalies (phase profile fold + one equi join)",
+        seasonal_anomalies(ev_raw, "ts", "value", ["event_type"], k=2.0),
+        must=["HashAggregate", "Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Seasonal anomalies (E79): the phase-bucket profile is one "
+            "map-side-combined fold to keys × buckets rows (the nightly "
+            "broadcast artifact), detection is ONE key-phase equi join "
+            "with the flag compare entirely in decimal. No window, no "
+            "sort — the diurnal-aware complement of CUSUM (level shifts) "
+            "and MAD (global outliers)."
+        ),
+    )
+
     from intervalaverage_spark.plans.skew import salt_plan, skew_profile
 
     add(

@@ -896,6 +896,135 @@ def cadence_stats(
     )
 
 
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_vars: Sequence[str],
+    period: int = 86400,
+    buckets: int = 24,
+) -> DataFrame:
+    """Per-key seasonal baseline: mean and σ of the value per PHASE
+    bucket of a repeating period (default: hour-of-day over a day) —
+    crawl traffic, fetch latency and page-change rates are strongly
+    diurnal, so "is this value high?" is only answerable against the
+    hour it happened in. The companion detector
+    (:func:`seasonal_anomalies`) flags against THIS baseline; CUSUM
+    (level shifts) and MAD (global outliers) miss exactly the
+    anomalies that hide inside the daily swing.
+
+    Phase = ``(epoch mod period) ÷ (period/buckets)`` (integer
+    arithmetic; ``period`` must divide evenly into ``buckets``).
+    Duplicate (key, ts) rows collapse to their 6-dp decimal mean first
+    (:func:`~intervalaverage_spark.operators.changepoint.cusum_points`
+    — the family's total-order precondition), then per (key, phase):
+    ``n_obs``, ``mean_v`` (exact decimal sum → one divide → 6-dp) and
+    ``sd_v`` (population σ from exact decimal moments — ONE
+    fixed-order float, 6-dp; NULL when n_obs < 2).
+
+    Scale shape: ONE map-side-combined aggregation on (key, phase) —
+    the profile is keys × buckets rows, the artifact you persist
+    nightly and broadcast at detection time. No window, no join, no
+    UDF.
+    """
+    if buckets < 1 or period < 1 or period % buckets != 0:
+        raise IntervalDataError(
+            "seasonal_profile: need period >= buckets >= 1 with "
+            f"period % buckets == 0, got period={period} buckets={buckets}")
+    if not group_vars:
+        raise IntervalSchemaError(
+            "seasonal_profile: group_vars must be non-empty")
+    for c in (ts_col, value_col, *group_vars):
+        if c not in df.columns:
+            raise IntervalSchemaError(
+                f"seasonal_profile: missing column {c!r}")
+    from intervalaverage_spark.operators.changepoint import cusum_points
+
+    g = list(group_vars)
+    width = period // buckets
+    pts = cusum_points(df, ts_col, value_col, g)
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    ph = pts.select(
+        *g,
+        (F.pmod(t, F.lit(period)) / F.lit(width)).cast("long").alias("phase"),
+        "x",
+    )
+    agg = ph.groupBy(*g, "phase").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("x").alias("_s1"),
+        F.sum(F.col("x") * F.col("x")).alias("_s2"),
+    )
+    n = F.col("n_obs").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    sd = F.when(
+        F.col("n_obs") >= 2,
+        F.sqrt(F.greatest(F.lit(0.0), s2 / n - (s1 / n) * (s1 / n))),
+    )
+    return agg.select(
+        *g, "phase", "n_obs",
+        F.round(s1 / n, 6).alias("mean_v"),
+        F.round(sd, 6).alias("sd_v"),
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_vars: Sequence[str],
+    period: int = 86400,
+    buckets: int = 24,
+    k: float = 3.0,
+) -> DataFrame:
+    """Points deviating more than ``k``·σ from THEIR OWN phase bucket's
+    mean (:func:`seasonal_profile`) — the "3am spike that is normal at
+    3pm" detector. The flag compare runs entirely in decimal (mean and
+    σ re-enter as 6-dp decimals), so the anomaly SET is cross-engine
+    exact; ``rz = (x − mean)/σ`` is one fixed-order float, 6-dp,
+    −0.0-normalised. Phase buckets with σ NULL (single point) or σ = 0
+    (constant — flag degenerates to x ≠ mean, rz NULL) follow the
+    robust_anomalies degenerate contract.
+
+    Output: ``(*group_vars, ts_col, phase, x, mean_v, sd_v, rz)`` for
+    anomalous points only. Scale shape: the profile fold + ONE
+    key-phase equi join back (profile is keys × buckets rows —
+    broadcastable); no window.
+    """
+    if not (k == k) or k < 0:
+        raise IntervalDataError(
+            f"seasonal_anomalies: k must be >= 0, got {k}")
+    from intervalaverage_spark.operators.changepoint import cusum_points
+
+    g = list(group_vars)
+    prof = seasonal_profile(df, ts_col, value_col, g, period, buckets)
+    width = period // buckets
+    pts = cusum_points(df, ts_col, value_col, g)
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    ph = pts.select(
+        *g, ts_col,
+        (F.pmod(t, F.lit(period)) / F.lit(width)).cast("long").alias("phase"),
+        "x",
+    )
+    kd = F.lit(round(float(k), 6)).cast("decimal(18,6)")
+    md = F.col("mean_v").cast("decimal(18,6)")
+    sd = F.col("sd_v").cast("decimal(18,6)")
+    dev = F.abs(F.col("x") - md)
+    flagged = ph.join(prof, [*g, "phase"]).where(
+        F.when(sd.isNull(), F.lit(False)).otherwise(dev > kd * sd)
+    )
+    rz = F.when(
+        sd > 0,
+        (F.col("x") - md).cast("double") / sd.cast("double"),
+    )
+    return flagged.select(
+        *g, ts_col, "phase",
+        F.col("x").cast("double").alias("x"),
+        "mean_v", "sd_v",
+        (F.round(rz, 6) + F.lit(0.0)).alias("rz"),
+    )
+
+
 def robust_anomalies(
     df: DataFrame,
     ts_col: str,

@@ -1981,6 +1981,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the swap keeps BOTH rows-only rotation asks (r6 verdict #5)
         # inside the 50-row driver window; the sf0.01 mirror covers it
         "hll_daily_users_events": p["hll_daily_users_events"],
+        # E79 landed after the round's window filled (41 new + 10 stale
+        # rotations = 51 candidates for 50 slots): parked with the same
+        # contract — mirror-covered, pytest-replayed, rotate in next
+        # round at the top of the window
+        "seasonal_profile_events": p["seasonal_profile_events"],
+        "seasonal_anomalies_events": p["seasonal_anomalies_events"],
         # ---- previously driver-green, still inside the window ----
         "interval_average_events_daily": q_interval_average_events_daily,
         "interval_average_events_daily_2v": q_interval_average_events_daily_2v,

@@ -2658,6 +2658,81 @@ FROM agg
 """
 
 
+def q_seasonal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal baseline (E79, operators/analytics.py seasonal_profile):
+    per-event-type hour-of-day mean/σ of the value series — the diurnal
+    profile every 'is this high?' question needs. One map-side-combined
+    fold over (key, phase); the profile is keys × 24 rows."""
+    from intervalaverage_spark.operators.analytics import seasonal_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return seasonal_profile(ev, "ts", "value", ["event_type"])
+
+
+_SEASONAL_PTS_SQL = """
+pts AS (
+  SELECT event_type, ts,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+ph AS (
+  SELECT event_type, ts,
+         CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) / 3600.0)
+              AS BIGINT) AS phase, x
+  FROM pts),
+prof AS (
+  SELECT event_type, phase, COUNT(*) AS n_obs,
+         SUM(x) AS s1, SUM(x * x) AS s2
+  FROM ph GROUP BY 1, 2),
+proff AS (
+  SELECT event_type, phase, n_obs,
+         ROUND(CAST(s1 AS DOUBLE) / n_obs, 6) AS mean_v,
+         CASE WHEN n_obs >= 2 THEN
+           ROUND(sqrt(GREATEST(0.0,
+             CAST(s2 AS DOUBLE) / n_obs
+             - (CAST(s1 AS DOUBLE) / n_obs)
+               * (CAST(s1 AS DOUBLE) / n_obs))), 6) END AS sd_v
+  FROM prof)
+"""
+
+
+_SEASONAL_PROFILE_SQL = f"""
+WITH {_SEASONAL_PTS_SQL}
+SELECT event_type, phase, CAST(n_obs AS BIGINT) AS n_obs, mean_v, sd_v
+FROM proff
+"""
+
+
+def q_seasonal_anomalies_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal anomalies (E79): points > 2σ from their OWN hour-of-day
+    bucket's mean — the 3am-spike-normal-at-3pm detector. Decimal flag
+    compare ⇒ the anomaly set is cross-engine exact."""
+    from intervalaverage_spark.operators.analytics import (
+        seasonal_anomalies,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return seasonal_anomalies(ev, "ts", "value", ["event_type"], k=2.0)
+
+
+_SEASONAL_ANOM_SQL = f"""
+WITH {_SEASONAL_PTS_SQL}
+SELECT p.event_type AS event_type, ts, p.phase AS phase,
+       CAST(x AS DOUBLE) AS x, mean_v, sd_v,
+       CASE WHEN CAST(sd_v AS DECIMAL(18,6)) > 0
+            THEN ROUND(CAST(x - CAST(mean_v AS DECIMAL(18,6)) AS DOUBLE)
+                       / CAST(CAST(sd_v AS DECIMAL(18,6)) AS DOUBLE), 6)
+                 + 0 END AS rz
+FROM ph p JOIN proff f ON p.event_type = f.event_type AND p.phase = f.phase
+WHERE sd_v IS NOT NULL
+  AND ABS(x - CAST(mean_v AS DECIMAL(18,6)))
+      > CAST(2.0 AS DECIMAL(18,6)) * CAST(sd_v AS DECIMAL(18,6))
+"""
+
+
 def q_robust_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outliers per event_type (E72,
     operators/analytics.py robust_anomalies): points whose absolute
@@ -2956,6 +3031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_plan_events": q_salt_plan_events,
         "chunk_documents": q_chunk_documents,
         "hll_daily_users_events": q_hll_daily_users_events,
+        "seasonal_profile_events": q_seasonal_profile_events,
+        "seasonal_anomalies_events": q_seasonal_anomalies_events,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -3032,6 +3109,8 @@ def oracle_sql() -> dict[str, str]:
         "salt_plan_events": _SALT_PLAN_SQL,
         "chunk_documents": _CHUNK_SQL,
         "hll_daily_users_events": _hll_daily_sql(),
+        "seasonal_profile_events": _SEASONAL_PROFILE_SQL,
+        "seasonal_anomalies_events": _SEASONAL_ANOM_SQL,
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

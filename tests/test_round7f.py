@@ -341,6 +341,90 @@ def test_mad_constant_series_silent(spark):
     assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
 
 
+# ------------------------------------------------ E79 seasonal baseline
+
+
+def test_seasonal_profile_python_replay(spark):
+    from intervalaverage_spark.operators.analytics import seasonal_profile
+
+    g = _lcg(127)
+    data, pts = [], {}
+    for i in range(300):
+        t = next(g) % (86400 * 7)
+        v = (next(g) % 3000) / 100.0
+        data.append(("a", t, v))
+        pts.setdefault(("a", t), []).append(v)
+    df = spark.createDataFrame(data, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v")
+    got = {(r["k"], r["phase"]): r
+           for r in rows(seasonal_profile(df, "ts", "v", ["k"]))}
+    # python replay: collapse dup ts to 6dp mean, bucket by hour-of-day
+    buckets: dict[int, list] = {}
+    for (_, t), vs in pts.items():
+        x = round(sum(round(v * 1e6) for v in vs) / len(vs) / 1e6, 6)
+        buckets.setdefault((t % 86400) // 3600, []).append(round(x * 1e6))
+    for phz, mu in buckets.items():
+        n = len(mu)
+        mean = round(sum(mu) / 1e6 / n, 6)
+        want_sd = None
+        if n >= 2:
+            s1 = float(sum(mu)) / 1e6
+            s2 = float(sum(m * m for m in mu)) / 1e12
+            want_sd = round(max(0.0, s2 / n - (s1 / n) * (s1 / n)) ** 0.5, 6)
+        r = got[("a", phz)]
+        assert (r["n_obs"], r["mean_v"], r["sd_v"]) == (n, mean, want_sd)
+
+
+def test_seasonal_anomaly_phase_awareness(spark):
+    """The value 50 is NORMAL at phase where the baseline is 50±noise
+    but ANOMALOUS at a phase whose baseline is 5 — the global detectors
+    cannot make that distinction."""
+    from intervalaverage_spark.operators.analytics import (
+        robust_anomalies,
+        seasonal_anomalies,
+    )
+
+    data = []
+    for day in range(10):
+        base = day * 86400
+        for rep in range(3):  # phase 0 ("3am"): quiet, ~5
+            data.append(("a", base + rep * 60, 5.0 + rep * 0.1))
+        for rep in range(3):  # phase 12 ("3pm"): busy, ~50
+            data.append(("a", base + 12 * 3600 + rep * 60, 50.0 + rep * 0.1))
+    # one 3am spike to the NORMAL-at-3pm level
+    data.append(("a", 10 * 86400 + 120, 50.0))
+    df = spark.createDataFrame(data, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v")
+    got = rows(seasonal_anomalies(df, "ts", "v", ["k"], k=3.0))
+    assert len(got) == 1 and got[0]["phase"] == 0 and got[0]["x"] == 50.0
+    assert got[0]["rz"] > 3.0
+    # the same point is INVISIBLE to the global MAD detector (50 is a
+    # normal value globally)
+    mad = rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0))
+    assert all(int(r["ts"].timestamp()) != 10 * 86400 + 120 for r in mad)
+
+
+def test_seasonal_degenerate_contracts(spark):
+    from intervalaverage_spark.operators.analytics import (
+        seasonal_anomalies,
+        seasonal_profile,
+    )
+    from intervalaverage_spark.validation import IntervalDataError
+
+    # single point per phase -> sd NULL -> never flagged
+    df = spark.createDataFrame(
+        [("a", h * 3600, float(h)) for h in range(5)],
+        "k string, t long, v double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    prof = rows(seasonal_profile(df, "ts", "v", ["k"]))
+    assert all(r["sd_v"] is None and r["n_obs"] == 1 for r in prof)
+    assert rows(seasonal_anomalies(df, "ts", "v", ["k"])) == []
+    with pytest.raises(IntervalDataError):
+        seasonal_profile(df, "ts", "v", ["k"], period=100, buckets=7)
+    with pytest.raises(IntervalDataError):
+        seasonal_anomalies(df, "ts", "v", ["k"], k=-1.0)
+
+
 # ------------------------------------------- E78 windowed HLL (tier shape)
 
 
