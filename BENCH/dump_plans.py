@@ -1230,6 +1230,28 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.operators.analytics import theil_sen
+
+    add(
+        "theil_sen (bounded pair join, median of slopes)",
+        theil_sen(ev_raw, "ts", "value", ["user_id", "event_type"],
+                  max_points=2000),
+        must=["HashAggregate", "Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Theil–Sen robust trend (E80): the pair self-join is "
+            "key-equi with fan-out C(n,2) per key bounded by max_points "
+            "BY CONSTRUCTION (oversized keys are excluded, documented — "
+            "no hot key can quadratic-bomb the stage); medians are "
+            "percentile folds (ObjectHashAggregate expected). Raw-double "
+            "slopes enter the median — pre-rounding put every odd "
+            "midpoint exactly on the 7th-digit round boundary (measured "
+            "cross-engine flapping at sf0.01, fixed)."
+        ),
+    )
+
     from intervalaverage_spark.operators.analytics import seasonal_anomalies
 
     add(

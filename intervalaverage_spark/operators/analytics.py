@@ -812,6 +812,110 @@ def autocorr(
     )
 
 
+def theil_sen(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_vars: Sequence[str],
+    max_points: int = 2000,
+) -> DataFrame:
+    """Per-key Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes — up to ~29% of a series can be corrupt (bot bursts, parser
+    glitches, the exact junk MAD flags) and the slope estimate stands,
+    where OLS (:func:`trend`) is dragged by every outlier. Sen's
+    intercept = median residual at the key's first observation.
+
+    Quadratic by definition (all C(n,2) pairs), so the per-key history
+    is BOUNDED: only keys with ``2 ≤ n ≤ max_points`` distinct
+    timestamps emit a row — larger keys are EXCLUDED (documented, not
+    sampled: silent subsampling would break determinism; downsample
+    first via M4/tiers, or use :func:`trend` whose one-pass moments
+    handle any length). Duplicate timestamps collapse to 6-dp decimal
+    means first (the family's total-order precondition).
+
+    Exactness: each pairwise slope is ONE fixed-order float
+    ``(Δx_decimal → double) · 86400 / Δt``, 6-dp rounded; the medians
+    are exact linear-interpolation percentiles over those rounded
+    values (the E25/E72 contract); residuals likewise fixed-order.
+    Output: ``(*group_vars, n_points, n_pairs, ts_slope units/day,
+    ts_intercept)``.
+
+    Scale shape: the pair join is a key-equi self-join whose fan-out is
+    C(n,2) per key — bounded by ``max_points`` BY CONSTRUCTION, so no
+    hot key can quadratic-bomb the stage; everything else is key-equi
+    joins against key-cardinality relations. The 10^9-series regime is
+    trend() for every key + theil_sen on the suspicious ones MAD/CUSUM
+    surfaced.
+    """
+    if max_points < 2:
+        raise IntervalDataError(
+            f"theil_sen: max_points must be >= 2, got {max_points}")
+    if not group_vars:
+        raise IntervalSchemaError("theil_sen: group_vars must be non-empty")
+    for c in (ts_col, value_col, *group_vars):
+        if c not in df.columns:
+            raise IntervalSchemaError(f"theil_sen: missing column {c!r}")
+    g = list(group_vars)
+    # collapse on the FLOOR-SECOND (not the raw timestamp): slopes
+    # divide by Δt in whole seconds, so two sub-second observations
+    # must fuse BEFORE pairing or Δt = 0 pairs would divide by zero
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    xd = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    pts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*g, t.alias("__t"))
+        .agg(F.sum(xd).alias("_sx"), F.count(F.lit(1)).alias("_cn"))
+        .select(
+            *g, "__t",
+            F.round(F.col("_sx").cast("double") / F.col("_cn"), 6)
+            .cast("decimal(18,6)").alias("x"),
+        )
+    )
+    bounds = pts.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("__t").alias("__t0"),
+    ).where((F.col("n_points") >= 2) & (F.col("n_points") <= max_points))
+    kp = pts.join(bounds, g)
+
+    a = kp.select(*g, F.col("__t").alias("__t1"), F.col("x").alias("__x1"))
+    b = kp.select(*g, F.col("__t").alias("__t2"), F.col("x").alias("__x2"))
+    # slopes stay RAW doubles into the median: each is bit-identical
+    # cross-engine (decimal Δx → double exact, integer Δt), and the
+    # 0.5-interpolation midpoint of raw doubles almost never lands on a
+    # 6-dp round boundary — whereas pre-rounded slopes put EVERY odd
+    # midpoint exactly on the 7th-digit 5 (measured flapping at sf0.01)
+    slope = (
+        ((F.col("__x2") - F.col("__x1")).cast("double") * 86400.0)
+        / (F.col("__t2") - F.col("__t1")).cast("double")
+    )
+    med_slope = (
+        a.join(b, g).where(F.col("__t1") < F.col("__t2"))
+        .groupBy(*g)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.round(F.percentile(slope, F.lit(0.5)), 6) + F.lit(0.0))
+            .alias("ts_slope"),
+        )
+    )
+    resid = (
+        F.col("x").cast("double")
+        - F.col("ts_slope")
+        * ((F.col("__t") - F.col("__t0")).cast("double") / 86400.0)
+    )
+    out = (
+        kp.join(med_slope, g)
+        .groupBy(*g)
+        .agg(
+            F.max("n_points").alias("n_points"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.max("ts_slope").alias("ts_slope"),
+            (F.round(F.percentile(resid, F.lit(0.5)), 6) + F.lit(0.0))
+            .alias("ts_intercept"),
+        )
+    )
+    return out.select(*g, "n_points", "n_pairs", "ts_slope", "ts_intercept")
+
+
 def cadence_stats(
     df: DataFrame,
     ts_col: str,

@@ -1987,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round at the top of the window
         "seasonal_profile_events": p["seasonal_profile_events"],
         "seasonal_anomalies_events": p["seasonal_anomalies_events"],
+        "theil_sen_events": p["theil_sen_events"],
         # ---- previously driver-green, still inside the window ----
         "interval_average_events_daily": q_interval_average_events_daily,
         "interval_average_events_daily_2v": q_interval_average_events_daily_2v,

@@ -2658,6 +2658,62 @@ FROM agg
 """
 
 
+def q_theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (E80, operators/analytics.py theil_sen):
+    median-of-pairwise-slopes per (user, event_type) — the
+    outlier-proof companion of the OLS trend row (same keys, so the
+    two are directly comparable). Pair fan-out bounded by max_points
+    by construction."""
+    from intervalaverage_spark.operators.analytics import theil_sen
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return theil_sen(ev, "ts", "value", ["user_id", "event_type"],
+                     max_points=2000)
+
+
+_THEIL_SEN_SQL = """
+WITH pts AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+b AS (
+  SELECT user_id, event_type, COUNT(*) AS n_points, MIN(t) AS t0
+  FROM pts GROUP BY 1, 2
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= 2000),
+pr AS (
+  SELECT p1.user_id AS user_id, p1.event_type AS event_type,
+         CAST(p2.x - p1.x AS DOUBLE) * 86400.0
+               / CAST(p2.t - p1.t AS DOUBLE) AS s
+  FROM pts p1
+  JOIN pts p2 ON p1.user_id = p2.user_id
+             AND p1.event_type = p2.event_type AND p1.t < p2.t
+  JOIN b ON b.user_id = p1.user_id AND b.event_type = p1.event_type),
+ms AS (
+  SELECT user_id, event_type, COUNT(*) AS n_pairs,
+         ROUND(quantile_cont(s, 0.5), 6) + 0 AS ts_slope
+  FROM pr GROUP BY 1, 2),
+rs AS (
+  SELECT p.user_id AS user_id, p.event_type AS event_type,
+         b.n_points AS n_points, ms.n_pairs AS n_pairs,
+         ms.ts_slope AS ts_slope,
+         CAST(p.x AS DOUBLE)
+               - ms.ts_slope * (CAST(p.t - b.t0 AS DOUBLE) / 86400.0)
+           AS r
+  FROM pts p
+  JOIN b ON b.user_id = p.user_id AND b.event_type = p.event_type
+  JOIN ms ON ms.user_id = p.user_id AND ms.event_type = p.event_type)
+SELECT user_id, event_type,
+       CAST(MAX(n_points) AS BIGINT) AS n_points,
+       CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+       MAX(ts_slope) AS ts_slope,
+       ROUND(quantile_cont(r, 0.5), 6) + 0 AS ts_intercept
+FROM rs GROUP BY 1, 2
+"""
+
+
 def q_seasonal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal baseline (E79, operators/analytics.py seasonal_profile):
     per-event-type hour-of-day mean/σ of the value series — the diurnal
@@ -3033,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily_users_events": q_hll_daily_users_events,
         "seasonal_profile_events": q_seasonal_profile_events,
         "seasonal_anomalies_events": q_seasonal_anomalies_events,
+        "theil_sen_events": q_theil_sen_events,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -3111,6 +3168,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_daily_users_events": _hll_daily_sql(),
         "seasonal_profile_events": _SEASONAL_PROFILE_SQL,
         "seasonal_anomalies_events": _SEASONAL_ANOM_SQL,
+        "theil_sen_events": _THEIL_SEN_SQL,
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

