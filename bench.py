@@ -203,6 +203,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[
         "cadence_stats_events",
         "chunk_documents",
         "url_normalize_documents",
+        "seasonal_anomalies_events",
+        "theil_sen_events",
     ]
     reg = q.queries()
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
