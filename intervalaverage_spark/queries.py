@@ -1988,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_events": p["seasonal_profile_events"],
         "seasonal_anomalies_events": p["seasonal_anomalies_events"],
         "theil_sen_events": p["theil_sen_events"],
+        "streaming_seasonal_anomalies_events":
+            p["streaming_seasonal_anomalies_events"],
         # ---- previously driver-green, still inside the window ----
         "interval_average_events_daily": q_interval_average_events_daily,
         "interval_average_events_daily_2v": q_interval_average_events_daily_2v,

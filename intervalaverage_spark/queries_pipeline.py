@@ -2658,6 +2658,74 @@ FROM agg
 """
 
 
+def q_streaming_seasonal_anomalies_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming seasonal detection (E81,
+    streaming/seasonal_stream.py): the E79 hour-of-day profile computed
+    offline, the event stream tested against it at ingest — a STATELESS
+    stream-static join, no state store, no watermark (the cheapest
+    possible streaming member; restart-safe because there is nothing to
+    restore). Observation-level contract: every arriving row is tested
+    individually (a stream cannot collapse duplicates across
+    micro-batches — and live alerting wants per-observation flags); the
+    oracle replays exactly that over the same rows."""
+    from intervalaverage_spark.operators.analytics import seasonal_profile
+    from intervalaverage_spark.streaming.seasonal_stream import (
+        streaming_seasonal_anomalies,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prof = seasonal_profile(ev, "ts", "value", ["event_type"])
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_type", "ts", "value")
+    )
+    out = streaming_seasonal_anomalies(
+        src, prof, "ts", "value", ["event_type"], k=2.0)
+    name = "q_streaming_seasonal_anoms"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming_seasonal: availableNow query did not finish "
+            "within 300s; refusing to compare a truncated sink"
+        )
+    q.stop()
+    return spark.table(name).select(
+        "event_type", "ts", "phase", "x", "mean_v", "sd_v", "rz")
+
+
+def _streaming_seasonal_sql() -> str:
+    # function, not module constant: _SEASONAL_PTS_SQL is defined later
+    # in the file (next to the batch seasonal queries)
+    return f"""
+WITH {_SEASONAL_PTS_SQL},
+obs AS (
+  SELECT event_type, ts,
+         CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) / 3600.0)
+              AS BIGINT) AS phase,
+         CAST(ROUND(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL)
+SELECT o.event_type AS event_type, o.ts AS ts, o.phase AS phase,
+       CAST(o.x AS DOUBLE) AS x, mean_v, sd_v,
+       CASE WHEN CAST(sd_v AS DECIMAL(18,6)) > 0
+            THEN ROUND(CAST(o.x - CAST(mean_v AS DECIMAL(18,6)) AS DOUBLE)
+                       / CAST(CAST(sd_v AS DECIMAL(18,6)) AS DOUBLE), 6)
+                 + 0 END AS rz
+FROM obs o
+JOIN proff f ON o.event_type = f.event_type AND o.phase = f.phase
+WHERE sd_v IS NOT NULL
+  AND ABS(o.x - CAST(mean_v AS DECIMAL(18,6)))
+      > CAST(2.0 AS DECIMAL(18,6)) * CAST(sd_v AS DECIMAL(18,6))
+"""
+
+
 def q_theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend (E80, operators/analytics.py theil_sen):
     median-of-pairwise-slopes per (user, event_type) — the
@@ -3090,6 +3158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_events": q_seasonal_profile_events,
         "seasonal_anomalies_events": q_seasonal_anomalies_events,
         "theil_sen_events": q_theil_sen_events,
+        "streaming_seasonal_anomalies_events":
+            q_streaming_seasonal_anomalies_events,
         "streaming_cusum_events": q_streaming_cusum_events,
         "weighted_sample_documents": q_weighted_sample_documents,
         "shard_assign_documents": q_shard_assign_documents,
@@ -3169,6 +3239,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_profile_events": _SEASONAL_PROFILE_SQL,
         "seasonal_anomalies_events": _SEASONAL_ANOM_SQL,
         "theil_sen_events": _THEIL_SEN_SQL,
+        "streaming_seasonal_anomalies_events": _streaming_seasonal_sql(),
         # stream must equal batch row-for-row: the oracle IS the batch
         # CUSUM SQL (the replay is bounded and per-key ordered)
         "streaming_cusum_events": _cusum_sql(),

@@ -253,6 +253,10 @@ def test_driver_window_covers_unverified_queries():
         # trend/cusum; python replay + breakdown-resistance pytest'd;
         # sf0.01 mirror green.
         "theil_sen_events",
+        # E81: STATELESS stream-static join of the E79 profile (both
+        # halves' machinery in-window via the stream family + anomaly
+        # idiom); stream==batch-run equality pytest'd; mirror green.
+        "streaming_seasonal_anomalies_events",
     }
     not_green = [
         n for n in names[50:]
@@ -265,7 +269,7 @@ def test_driver_window_covers_unverified_queries():
     # parked rows may not silently accumulate (each needs the in-window
     # machinery + mirror + replay justification above; ALL rotate in at
     # the top of the r8 window)
-    assert len(parked_new) <= 4
+    assert len(parked_new) <= 5
     # round-7 additions are new — never driver-checked — so in-window
     assert {"decontaminate_documents", "token_mix_documents"} <= window
 

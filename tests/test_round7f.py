@@ -341,6 +341,70 @@ def test_mad_constant_series_silent(spark):
     assert rows(robust_anomalies(df, "ts", "v", ["k"], k=3.0)) == []
 
 
+# ------------------------------------------ E81 streaming seasonal alerts
+
+
+def test_streaming_seasonal_equals_batch_run(spark, tmp_path):
+    """Stateless contract: an availableNow replay over three files must
+    equal a batch run of the SAME function row-for-row — there is no
+    state to diverge."""
+    from intervalaverage_spark.operators.analytics import seasonal_profile
+    from intervalaverage_spark.streaming.seasonal_stream import (
+        streaming_seasonal_anomalies,
+    )
+
+    src_dir = str(tmp_path / "seas_src")
+    g = _lcg(139)
+    for part in range(3):
+        rows_in = []
+        for i in range(200):
+            t = (part * 200 + i) * 450
+            v = 10.0 + (t % 86400) // 3600 + (next(g) % 100) / 100.0
+            if next(g) % 37 == 0:
+                v += 40.0  # planted spikes
+            rows_in.append(("a", _tstamp(t), v))
+        (spark.createDataFrame(rows_in, ["k", "ts", "v"])
+         .coalesce(1).write.mode("append").parquet(src_dir))
+    full = spark.read.parquet(src_dir)
+    prof = seasonal_profile(full, "ts", "v", ["k"])
+    want = rows(
+        streaming_seasonal_anomalies(full, prof, "ts", "v", ["k"], k=3.0),
+        "k", "ts")
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = streaming_seasonal_anomalies(stream, prof, "ts", "v", ["k"],
+                                       k=3.0)
+    name = "t_stream_seasonal"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    assert q.lastProgress["batchId"] >= 1
+    got = rows(spark.table(name), "k", "ts")
+    assert got == want and len(got) > 0
+
+
+def test_streaming_seasonal_contracts(spark):
+    from intervalaverage_spark.streaming.seasonal_stream import (
+        streaming_seasonal_anomalies,
+    )
+    from intervalaverage_spark.validation import IntervalDataError
+
+    df = spark.createDataFrame(
+        [("a", _tstamp(0), 1.0)], ["k", "ts", "v"])
+    bad_prof = spark.createDataFrame([("a", 0, 1.0)], ["k", "phase", "m"])
+    with pytest.raises(IntervalSchemaError, match="profile"):
+        streaming_seasonal_anomalies(df, bad_prof, "ts", "v", ["k"])
+    ok_prof = spark.createDataFrame(
+        [("zz", 0, 1.0, 0.5)], ["k", "phase", "mean_v", "sd_v"])
+    with pytest.raises(IntervalDataError):
+        streaming_seasonal_anomalies(df, ok_prof, "ts", "v", ["k"],
+                                     period=100, buckets=7)
+    # unmonitored key (absent from profile) emits nothing
+    got = rows(streaming_seasonal_anomalies(df, ok_prof, "ts", "v", ["k"]))
+    assert got == []
+
+
 # --------------------------------------------------- E80 Theil–Sen slope
 
 
