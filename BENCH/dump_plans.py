@@ -1271,6 +1271,33 @@ def main() -> None:
         ),
     )
 
+    from intervalaverage_spark.operators.analytics import seasonal_profile
+    from intervalaverage_spark.streaming.seasonal_stream import (
+        streaming_seasonal_anomalies,
+    )
+
+    _prof = seasonal_profile(ev_raw, "ts", "value", ["event_type"])
+    add(
+        "streaming_seasonal_anomalies (stateless probe, batch twin)",
+        streaming_seasonal_anomalies(ev_raw, _prof, "ts", "value",
+                                     ["event_type"], k=2.0),
+        must=["Join"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+                  "BatchEvalPython", "ArrowEvalPython",
+                  "FlatMapGroupsInPandas"],
+        note=(
+            "Streaming seasonal detection (E81) audited through its "
+            "batch twin (the function is pure expressions + one static "
+            "join, so it runs identically on batch input): per-row cost "
+            "is ONE equi-join probe against the keys × buckets profile "
+            "(broadcast at this size), flag compare in decimal. In the "
+            "streaming plan the same join is stream-static — no state "
+            "store, no watermark; stream == batch-run equality is "
+            "pytest'd and the driver row replays observation-level "
+            "semantics hash-exact."
+        ),
+    )
+
     from intervalaverage_spark.plans.skew import salt_plan, skew_profile
 
     add(
