@@ -30,6 +30,8 @@ from __future__ import annotations
 # them against this module's globals — a function-local ``import pandas``
 # leaves the hint unresolvable and the decorator raises UNSUPPORTED_SIGNATURE
 # at definition time (the round-6 regression).
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -52,11 +54,70 @@ def plane_vector(band: int, plane: int, dims: int) -> list[float]:
     return [plane_weight(band, plane, d) for d in range(dims)]
 
 
-def _dot(vec: Column, lits: list[float]) -> Column:
-    arr = F.array(*[F.lit(w) for w in lits])
+def _dot_lit(vec: Column, lits: list[float]) -> Column:
+    """Dot of a data vector against a LITERAL vector — the fold form.
+
+    Kept as the fold ON MEASUREMENT (round-8): an unrolled 64-term chain
+    is ~2× faster per row in execution, but costs ~400 expression nodes
+    per dot; replicated once per centroid (n_cells of them, in BOTH the
+    probe array and the assignment projection) the query tree reaches
+    ~26k nodes and Catalyst/codegen spend 10-15 s of DRIVER time per
+    action (guide §7.3, "very large plans") — more than the unroll saves.
+    Use :func:`_dot_lit_unrolled` only where a plan contains O(1) dots."""
+    arr = F.array(*[F.lit(float(w)) for w in lits])
     return F.aggregate(
-        F.zip_with(vec, arr, lambda x, w: x * w), F.lit(0.0), lambda s, p: s + p
+        F.zip_with(vec, arr, lambda x, w: x * w), F.lit(0.0),
+        lambda s, p: s + p
     )
+
+
+def _dot_lit_unrolled(vec: Column, lits: list[float]) -> Column:
+    """Codegen-unrolled twin of :func:`_dot_lit` for plans with O(1) dot
+    evaluations (single-query scans like :func:`brute_topk`).
+
+    Bit-identical to the fold for every input: the zip pads the shorter
+    side with null and one null product nulls the running fold, so the
+    fold is NULL whenever ``size(vec) != len(lits)`` (or any element is
+    null) — reproduced here by the size guard (and by ``F.get``'s null
+    for short rows). When the sizes match, the unrolled sum is the same
+    left-associated ((0+p₀)+p₁)+… chain over the same products. Measured
+    2.3× faster than the fold on a 200k-row scan.
+
+    The size guard is a MULTIPLICATIVE null-or-one term, not a
+    ``when(cond, chain)``: codegen cannot split expressions inside a
+    CaseWhen branch into sub-methods, so wrapping the 64-term chain in a
+    conditional produced one huge un-JIT-able method — measured 6.5×
+    SLOWER than the flat chain (BENCH notes r8). ``s * 1.0`` is
+    bit-identical to ``s`` (IEEE), and ``s * NULL`` is NULL — exactly the
+    fold's result for a size-mismatched row."""
+    s: Column = F.lit(0.0)
+    for i, w in enumerate(lits):
+        s = s + F.get(vec, i) * F.lit(float(w))
+    return s * F.when(F.size(vec) == len(lits), F.lit(1.0))
+
+
+def _norm_py(vec: list[float]) -> float:
+    """Driver-side L2 norm with the JVM fold's exact order (sequential
+    ``acc + x·x`` then one IEEE sqrt) — used to pre-fold literal centroid
+    norms into constants instead of re-evaluating an interpreted fold over
+    a constant array once per row per centroid."""
+    s = 0.0
+    for x in vec:
+        s = s + float(x) * float(x)
+    return math.sqrt(s)
+
+
+def _norm(a: Column) -> Column:
+    """L2 norm as the standard fold — computed ONCE PER ROW and carried as
+    a column where pair-scoring used to re-fold it per candidate pair."""
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0),
+                    lambda s, p: s + p)
+    )
+
+
+def _dot(vec: Column, lits: list[float]) -> Column:
+    return _dot_lit(vec, lits)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -102,11 +163,15 @@ def with_srp_buckets(
 def brute_topk(
     df: DataFrame, query_vec: list[float], id_col: str, vec_col: str, k: int = 10
 ) -> DataFrame:
-    """Exact cosine top-k against a literal query vector (ties → id asc)."""
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    """Exact cosine top-k against a literal query vector (ties → id asc).
+
+    Unrolled literal dot (bit-identical — see :func:`_dot_lit`); the query
+    norm is a pre-folded constant (:func:`_norm_py`)."""
+    qf = [float(x) for x in query_vec]
     v = F.col(vec_col).cast("array<double>")
+    cos = _dot_lit_unrolled(v, qf) / (_norm(v) * F.lit(_norm_py(qf)))
     return (
-        df.select(F.col(id_col), F.round(cosine(v, qv), 6).alias("cosine"))
+        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
@@ -150,6 +215,19 @@ def _round_half_up(x, decimals: int = 6):
     of a tie boundary than the fold's — equality with the literal path is
     therefore fixture-verified, not bit-guaranteed for all inputs."""
     scale = 10.0 ** decimals
+    if isinstance(x, np.ndarray) and x.dtype == np.float64:
+        # in-place on the (always freshly-allocated) GEMM output: the
+        # expression form allocated ~5 score-matrix-sized temporaries per
+        # batch (batch × n_cells doubles each) — significant first-touch
+        # page traffic at 2048 cells (round-8, guide §5)
+        s = np.sign(x)
+        np.abs(x, out=x)
+        np.multiply(x, scale, out=x)
+        np.add(x, 0.5, out=x)
+        np.floor(x, out=x)
+        np.divide(x, scale, out=x)
+        np.multiply(x, s, out=x)
+        return x
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
@@ -160,7 +238,22 @@ def _clean_vectors(vs: pd.Series, dim: int):
     are masked out (the caller emits NULL for them) — mirroring the
     literal expression path, which degrades to NULL/NaN per row instead
     of failing the job (ADVICE r6)."""
-    ok = np.zeros(len(vs), dtype=bool)
+    n = len(vs)
+    ok = np.zeros(n, dtype=bool)
+    # FAST PATH (the overwhelmingly common batch: every row non-null and
+    # exactly dim floats): one C-level stack instead of a Python loop over
+    # rows×elements. Rows with None/NaN elements either fail the stack
+    # (TypeError/ValueError → slow path) or surface as non-finite norms —
+    # masked identically to the slow path either way.
+    try:
+        m = np.array(list(vs), dtype=np.float64)
+        if m.ndim == 2 and m.shape == (n, dim):
+            norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+            good = (norms[:, 0] > 0.0) & np.isfinite(norms[:, 0])
+            ok[:] = good
+            return ok, m[good] / norms[good]
+    except (TypeError, ValueError):
+        pass
     rows = []
     for i, v in enumerate(vs):
         if v is None:
@@ -221,7 +314,13 @@ def assign_cells_broadcast(
             out[np.flatnonzero(ok)] = cids[scores.argmax(axis=1)]
         return pd.Series(out)
 
-    return df.withColumn(out_col, _cell(F.col(vec_col)))
+    # asNondeterministic: a downstream filter on the cell column (e.g. the
+    # knn_join equi-join's isnotnull) is otherwise pushed below this
+    # projection and the optimizer DUPLICATES the UDF — the round-start
+    # plan ran the GEMM assignment twice per index row (two ArrowEvalPython
+    # nodes; guide §4.4). The function is pure, the marker only pins a
+    # single evaluation.
+    return df.withColumn(out_col, _cell.asNondeterministic()(F.col(vec_col)))
 
 
 def probe_cells_broadcast(
@@ -246,11 +345,21 @@ def probe_cells_broadcast(
         ok, vn = _clean_vectors(vs, dim)
         if vn.shape[0]:
             scores = _round_half_up(vn @ cmat.T)
-            # stable argsort on -scores: descending cosine, cid-asc ties
-            # (columns are already cid-ascending)
-            idx = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
-            for j, i in enumerate(np.flatnonzero(ok)):
-                out[i] = cids[idx[j]].tolist()
+            if nprobe == 1:
+                # argmax = first occurrence of the max = lowest cid among
+                # rounded ties (columns are cid-ascending) — exactly the
+                # stable argsort's first element, without sorting n_cells
+                # columns per row (round-8; the self-kNN regime is
+                # n_cells ≈ √n with nprobe=1)
+                top = scores.argmax(axis=1)
+                for j, i in enumerate(np.flatnonzero(ok)):
+                    out[i] = [int(cids[top[j]])]
+            else:
+                # stable argsort on -scores: descending cosine, cid-asc
+                # ties (columns are already cid-ascending)
+                idx = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+                for j, i in enumerate(np.flatnonzero(ok)):
+                    out[i] = cids[idx[j]].tolist()
         return pd.Series(out, dtype="object")
 
     return _probes(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
@@ -292,15 +401,27 @@ def ivf_cells(
     if method == "broadcast":
         return assign_cells_broadcast(df, vec_col, cents), cents
     v = F.col(vec_col).cast("array<double>")
+    # round-8 (guide §4.1/§1.2): the vector's own norm is hoisted to ONE
+    # per-row column (it was re-folded once per centroid), each centroid's
+    # norm is a pre-folded constant (:func:`_norm_py` — same fold order,
+    # same bits), and the per-centroid dot is the unrolled codegen form of
+    # the identical expression (:func:`_dot_lit`).
     cands = [
         F.struct(
-            F.round(cosine(v, F.array(*[F.lit(x) for x in cv])), 6).alias("c"),
+            F.round(
+                _dot_lit(v, cv) / (F.col("__ivf_na") * F.lit(_norm_py(cv))), 6
+            ).alias("c"),
             F.lit(-cid).cast("long").alias("nid"),  # ties → lowest centroid id
             F.lit(cid).cast("long").alias("cid"),
         )
         for cid, cv in cents
     ]
-    return df.withColumn("ivf_cell", F.greatest(*cands)["cid"]), cents
+    assigned = (
+        df.withColumn("__ivf_na", _norm(v))
+        .withColumn("ivf_cell", F.greatest(*cands)["cid"])
+        .drop("__ivf_na")
+    )
+    return assigned, cents
 
 
 def ivf_probe_cells(
@@ -390,12 +511,23 @@ def knn_join(
         raise ValueError(f"need 1 <= nprobe <= n_cells, got {nprobe}")
     assigned, cents = ivf_cells(index, id_col, vec_col, n_cells, method=method)
     qv = F.col(q_vec_col).cast("array<double>")
+    # round-8 rerank restructure (guide §4.1, bit-identical): each side's
+    # norm is computed ONCE PER ROW before the join (it was re-folded per
+    # candidate pair), so the per-pair work is one dot fold; the division
+    # keeps the original dot / (na · nb) association.
+    assigned = assigned.withColumn(
+        "__knn_nb", _norm(F.col(vec_col).cast("array<double>"))
+    )
+    qbase = queries.withColumn("__knn_qn", _norm(qv))
     if method == "broadcast":
         probes = probe_cells_broadcast(queries, q_vec_col, cents, nprobe)
     else:
         cand = [
             F.struct(
-                F.round(cosine(qv, F.array(*[F.lit(x) for x in cv])), 6).alias("c"),
+                F.round(
+                    _dot_lit(qv, cv) / (F.col("__knn_qn") * F.lit(_norm_py(cv))),
+                    6,
+                ).alias("c"),
                 F.lit(-cid).cast("long").alias("nid"),  # desc-sort ⇒ cid asc ties
                 F.lit(cid).cast("long").alias("cid"),
             )
@@ -405,17 +537,29 @@ def knn_join(
             F.slice(F.sort_array(F.array(*cand), asc=False), 1, nprobe),
             lambda s: s["cid"],
         )
-    qp = queries.select(
+    qp = qbase.select(
         F.col(q_id_col).alias("__knn_qid"),
         F.col(q_vec_col).alias("__knn_qv"),
+        F.col("__knn_qn"),
         F.explode(probes).alias("__knn_cell"),
     )
     j = qp.join(assigned, qp["__knn_cell"] == assigned["ivf_cell"])
     if exclude_self:
         j = j.filter(F.col("__knn_qid") != F.col(id_col))
-    cos = cosine(
-        F.col("__knn_qv").cast("array<double>"), F.col(vec_col).cast("array<double>")
+    # the per-pair dot STAYS the interpreted zip fold on measurement: the
+    # unrolled chain cannot be split into JIT-able sub-methods when fused
+    # into the join's codegen (local-variable inputs), and measured 3.4×
+    # SLOWER at 41M pairs (113 s vs 31 s); the fold with pre-joined norms
+    # is the fastest bit-exact form found (BENCH notes r8)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__knn_qv").cast("array<double>"),
+            F.col(vec_col).cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0), lambda s, p: s + p,
     )
+    cos = dot / (F.col("__knn_qn") * F.col("__knn_nb"))
     scored = j.select(
         F.col("__knn_qid").alias("q_id"),
         F.col(id_col).alias("nn_id"),

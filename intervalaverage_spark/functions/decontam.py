@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from intervalaverage_spark.functions.textstats import bind_once
+
 
 def _gram_tokens(col: Column | str) -> Column:
     """Lowercased whitespace tokens (empty-safe) — the decontamination
@@ -49,15 +51,18 @@ def _gram_tokens(col: Column | str) -> Column:
 def distinct_ngrams(col: Column | str, n: int) -> Column:
     """DISTINCT word ``n``-grams of the lowercased text (space-joined
     strings; empty array for docs shorter than ``n`` words)."""
-    toks = _gram_tokens(col)
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(k >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    def body(toks: Column) -> Column:
+        k = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.when(k >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # let-bound so tokenization runs once per doc, not once per gram
+    return bind_once(_gram_tokens(col), body)
 
 
 def contaminant_grams(

@@ -31,26 +31,36 @@ payload extension (north_rule axes A+B).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from intervalaverage_spark.functions.textstats import tokens
+from intervalaverage_spark.functions.textstats import bind_once, tokens
 
 
 # --------------------------------------------------------------- shingles
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram array (shingle set) of whitespace tokens."""
-    toks = tokens(col)
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    # short docs (< n tokens): single shingle = whole text, so they can
-    # still match exact duplicates of themselves
-    whole = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(F.when(k >= n, grams).otherwise(whole))
+    """Distinct word n-gram array (shingle set) of whitespace tokens.
+
+    The token array is let-bound (:func:`bind_once`) so tokenization runs
+    once per document, not once per gram — the interpreted HOF evaluator
+    otherwise re-evaluates the split+filter expression inside the per-gram
+    lambda, O(len²) per doc (round-8: this was ~90 % of every shingle
+    detector's runtime)."""
+    def body(toks: Column) -> Column:
+        k = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        # short docs (< n tokens): single shingle = whole text, so they can
+        # still match exact duplicates of themselves
+        whole = F.array(F.concat_ws(" ", toks))
+        return F.array_distinct(F.when(k >= n, grams).otherwise(whole))
+
+    return bind_once(tokens(col), body)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -95,15 +105,22 @@ def ngram_jaccard_pairs(
     O(doc_len²) per doc, measured ~90× slower at 2000 docs — so ``|A|``
     is instead recovered as rows-per-id from the exploded table itself
     (shingle sets are distinct by construction).
+
+    The exploded table is localCheckpoint-materialized once: the plan
+    references it five times (sizes, hot list, both self-join sides, hot
+    arrays) and without the checkpoint each reference re-runs the full
+    tokenize+shingle scan — the round-start physical plan scanned the
+    source 20× (guide §3.3: materialise shared intermediates).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("sh"),
-    )
+    ).localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     kept = sh
     if max_df is not None:
-        hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+        hot = (sh.groupBy("sh").count().filter(F.col("count") > max_df)
+               .select("sh").localCheckpoint())
         kept = sh.join(F.broadcast(hot), "sh", "left_anti")
     a, b = kept.alias("a"), kept.alias("b")
     common = (
@@ -184,24 +201,46 @@ def prefix_jaccard_pairs(
         raise ValueError(
             f"prefix_jaccard_pairs: threshold must be in (0, 1], "
             f"got {threshold}")
-    td = F.lit(round(float(threshold), 6)).cast("decimal(9,6)")
+    # FLOOR to 6 dp (not round-half-even): the pruning bounds must never
+    # be TIGHTER than the verify filter's raw-float threshold, or a
+    # >6-digit threshold that rounds up could drop a qualifying pair and
+    # break the losslessness guarantee (round-7 ADVICE). Flooring only
+    # loosens pruning — the exact verify keeps precision at 1.0.
+    t_floor = math.floor(float(threshold) * 1_000_000) / 1_000_000
+    td = F.lit(t_floor).cast("decimal(9,6)")
+    # one materialized shingle table: the plan otherwise re-runs the
+    # tokenize+shingle explode for the df fold, the rank window and the
+    # verify arrays (round-start plan: 12 source scans — guide §3.3)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("sh"),
+    ).localCheckpoint()
+    # document frequency attached via a count-over-window on the shingle
+    # partitioning instead of a groupBy + join back: one exchange of the
+    # shingle table replaces the aggregate exchange PLUS the sort-merge
+    # join of the 12M-row table against the 9.8M-row df table (measured
+    # 5.9 s join → window shares the exchange; same values — a full-frame
+    # count over the sh partition IS the document frequency)
+    wdf = (
+        Window.partitionBy("sh")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     wid = Window.partitionBy("id").orderBy("__df", "sh")
-    ranked = sh.join(dfreq, "sh").select(
-        "id", "sh",
+    ranked = sh.select(
+        "id", "sh", F.count(F.lit(1)).over(wdf).alias("__df")
+    ).select(
+        "id", "sh", "__df",
         F.row_number().over(wid).alias("__rk"),
         F.count(F.lit(1)).over(
             Window.partitionBy("id")
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ).alias("sz"),
-    )
+    ).drop("__df")
+    # materialized once: both self-join sides read it, and without the
+    # checkpoint each side re-pays the df-join + two windows
     prefix = ranked.where(
         F.col("__rk") <= F.col("sz") - F.ceil(td * F.col("sz")) + 1
-    ).select("id", "sh", "sz", "__rk")
+    ).select("id", "sh", "sz", "__rk").localCheckpoint()
 
     # positional filter (PPJoin's second pruning): for a QUALIFYING pair
     # the FIRST common token in the global order sits at ranks (i, j)
@@ -212,7 +251,7 @@ def prefix_jaccard_pairs(
     # passes. α is computed in EXACT integer arithmetic — t as micro-
     # units P/10^6, α = ⌈P·S / (10^6+P)⌉ via (num + den − 1) div den —
     # so no decimal-division rounding mode can ever over-tighten it.
-    p_micro = int(round(float(threshold) * 1_000_000))
+    p_micro = int(math.floor(float(threshold) * 1_000_000))  # floor: see td
     num = F.lit(p_micro) * (F.col("a.sz") + F.col("b.sz"))
     den = F.lit(1_000_000 + p_micro)
     alpha = ((num + den - 1) - (num + den - 1) % den) / den
@@ -232,11 +271,21 @@ def prefix_jaccard_pairs(
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
+        .localCheckpoint()
     )
-    arrs = sh.groupBy("id").agg(
+    # verify arrays only for docs that appear in ≥1 candidate pair (the
+    # _verify_jaccard idiom): the array-bearing aggregate runs over
+    # O(candidate docs), not O(corpus), and is materialized once instead
+    # of once per join side
+    cand_ids = (
+        cand.select(F.col("id1").alias("id"))
+        .unionByName(cand.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    arrs = sh.join(cand_ids, "id", "left_semi").groupBy("id").agg(
         F.collect_set("sh").alias("shs"),
         F.count(F.lit(1)).alias("sz"),
-    )
+    ).localCheckpoint()
     scored = (
         cand
         .join(arrs.select(F.col("id").alias("id1"),
@@ -308,6 +357,9 @@ def minhash_signature(
         F.explode(shingles(text_col, n)).alias("sh"),
     )
     if max_df is not None:
+        # the stop list derives from sh AND sh feeds the anti-join below:
+        # materialize once instead of exploding the corpus twice
+        sh = sh.localCheckpoint()
         stop_shingles = (
             sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
         )
@@ -379,8 +431,12 @@ def minhash_lsh_pairs(
     verify step still scores the TRUE Jaccard over unfiltered shingles,
     so the threshold means what it says.
     """
+    # band rows are REFERENCED twice (both self-join sides) and the
+    # candidate set three times inside the verify; without materialization
+    # each reference re-runs the whole signature pipeline — the
+    # round-start physical plan scanned the source 24× (guide §3.3)
     band_rows = minhash_band_index(df, id_col, text_col, n, num_hashes,
-                                   bands, max_df=max_df)
+                                   bands, max_df=max_df).localCheckpoint()
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -388,6 +444,7 @@ def minhash_lsh_pairs(
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
+        .localCheckpoint()
     )
     return _verify_jaccard(df, cand, id_col, text_col, n, threshold)
 
@@ -413,13 +470,17 @@ def _verify_jaccard(
         .unionByName(cand.select(F.col("id2").alias("cid")))
         .distinct()
     )
+    # shingle sets built ONCE per candidate doc (sz derived from the same
+    # array instead of a second shingles() evaluation) and materialized:
+    # both pair-join sides read this table
     sh = (
         df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
         .select(
             F.col(id_col).alias("id"),
-            F.size(shingles(text_col, n)).alias("sz"),
             shingles(text_col, n).alias("shs"),
         )
+        .select("id", F.size("shs").alias("sz"), "shs")
+        .localCheckpoint()
     )
     verified = (
         cand.join(sh.withColumnsRenamed({"id": "id1", "sz": "sz1", "shs": "shs1"}), "id1")
@@ -476,10 +537,12 @@ def incremental_minhash_lsh_pairs(
     index stored bucketed by bkey, scan-pruned too). Disable the
     broadcast for deltas too large to fit an executor (falls back to a
     sort-merge join on the band key — uniform md5 keys, no skew)."""
+    # the delta's band rows are referenced three times (new×old probe,
+    # both new×new sides) and returned — sign the delta once
     new_bands = minhash_band_index(
         new_docs, id_col, text_col, n, num_hashes, bands,
         stop_shingles=stop_shingles,
-    )
+    ).localCheckpoint()
     probe = F.broadcast(new_bands) if broadcast_delta else new_bands
     a, b_ = probe.alias("a"), band_index.alias("b")
     # new × old: either id order is possible — normalize to id1 < id2
@@ -498,7 +561,7 @@ def incremental_minhash_lsh_pairs(
                 & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
     )
-    cand = no.unionByName(nn).distinct()
+    cand = no.unionByName(nn).distinct().localCheckpoint()
     return _verify_jaccard(corpus, cand, id_col, text_col, n, threshold), new_bands
 
 
@@ -550,7 +613,9 @@ def simhash_pairs(
     then exact ``bit_count(xor)`` verification. No cartesian product."""
     if max_hamming > 3:
         raise ValueError("4-chunk pigeonhole guarantees recall only for d<=3")
-    sh = simhash_table(df, id_col, text_col)
+    # materialized once: both chunk-join sides reference it, and each
+    # reference would otherwise re-run the 60-aggregate vote pass
+    sh = simhash_table(df, id_col, text_col).localCheckpoint()
     chunks = sh.select(
         "id", "sim",
         F.explode(F.array(*[
@@ -660,20 +725,24 @@ def embedding_neardup_pairs(
     """Pairs with cosine ≥ threshold. Baseline: blocked self-join (within
     ``group_col`` blocks when given — e.g. an LSH bucket or label — else
     full O(n²); at 10^9 vectors ALWAYS pass a block column, e.g. from
-    :func:`intervalaverage_spark.functions.ann.lsh_bucket`)."""
+    :func:`intervalaverage_spark.functions.ann.lsh_bucket`).
+
+    Round-8: each side's norm is folded once per ROW before the self-join
+    (bit-identical — the same expression over the same vector, previously
+    re-folded per pair), so per-pair work is one dot fold + a divide."""
     a = F.col("a.v")
     b = F.col("b.v")
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, p: s + p)
-    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, p: s + p))  # noqa: E731
     cols = [F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")]
     if group_col:
         cols.append(F.col(group_col).alias("g"))
-    base = df.select(*cols)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, p: s + p))  # noqa: E731
+    base = df.select(*cols).withColumn("__nrm", nrm(F.col("v")))
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, p: s + p)
+    cos = dot / (F.col("a.__nrm") * F.col("b.__nrm"))
     cond = F.col("a.id") < F.col("b.id")
     if group_col:
         cond = cond & (F.col("a.g") == F.col("b.g"))
     pairs = base.alias("a").join(base.alias("b"), cond)
-    cos = dot / (nrm(a) * nrm(b))
     return (
         pairs.select(
             F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from intervalaverage_spark.functions.decontam import _gram_tokens
+from intervalaverage_spark.functions.textstats import bind_once
 from intervalaverage_spark.operators.coalesce import interval_coalesce
 
 
@@ -51,17 +52,20 @@ def _pos_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """``(id, pos, gkey)`` — one row per word n-gram occurrence; ``pos``
     is the 1-based token index of the gram's first word, ``gkey`` the
     md5 of the space-joined gram."""
-    tk = _gram_tokens(text_col)
-    grams = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.array_join(F.slice(tk, i, n), " ")).alias("gkey"),
+    def body(tk):
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice(tk, i, n), " ")).alias("gkey"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gkey:string>>"))
+        ).otherwise(F.array().cast("array<struct<pos:int,gkey:string>>"))
+
+    # let-bound so tokenization runs once per doc, not once per gram
+    grams = bind_once(_gram_tokens(text_col), body)
     return (
         df.select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey"))

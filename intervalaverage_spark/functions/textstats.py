@@ -36,6 +36,26 @@ STOPWORDS: tuple[str, ...] = (
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def bind_once(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per row
+    and hand it to ``body`` as a lambda variable.
+
+    Why this exists (round-8 optimization, guide §1.2 step 2): a
+    non-trivial array expression referenced INSIDE a higher-order
+    function's lambda is re-evaluated on every lambda invocation by the
+    interpreted HOF evaluator — e.g. the n-gram builders referenced the
+    ``split``+``filter`` token expression inside the per-gram lambda, so
+    every gram re-tokenized the whole document: O(len²) per doc, measured
+    at ~90 % of the dedup detectors' runtime (22 s of a 48 s minhash run
+    was the bare shingle explode). Wrapping the expression in a 1-element
+    array and transforming it binds the computed value to a
+    NamedLambdaVariable, which the lambda body references in O(1).
+
+    Bit-exact: the same expression over the same input, computed once
+    instead of k times."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens (empty-safe)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -110,14 +130,16 @@ def fingerprint(col: Column | str, n: int = 3) -> Column:
     hash-window fingerprint of the dedup literature, hash = md5). Docs
     sharing any long run of words collide with high probability. Falls back
     to md5 of the whole normalized text for docs shorter than ``n`` words."""
-    toks = tokens(col)
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), k - n + 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-    )
-    whole = F.md5(F.concat_ws(" ", toks))
-    return F.when(k >= n, F.array_min(grams)).otherwise(whole)
+    def body(toks: Column) -> Column:
+        k = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        )
+        whole = F.md5(F.concat_ws(" ", toks))
+        return F.when(k >= n, F.array_min(grams)).otherwise(whole)
+
+    return bind_once(tokens(col), body)
 
 
 def _trunc6(c: Column) -> Column:
@@ -147,13 +169,15 @@ def ngram_list(col: Column | str, n: int) -> Column:
     repetition analysis needs multiplicity; contrast dedup's
     ``shingles``, which deduplicates). Empty array for docs shorter
     than ``n`` words."""
-    toks = tokens(col)
-    k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+    def body(toks: Column) -> Column:
+        k = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens(col), body)
 
 
 def repetition_stats(

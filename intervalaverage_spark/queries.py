@@ -1000,16 +1000,18 @@ def q_lang_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-8: unrolled literal dot + pre-folded query norm (bit-identical
+    # to the interpreted fold — ann._dot_lit contract)
+    from intervalaverage_spark.functions.ann import _dot_lit_unrolled, _norm, _norm_py
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrow = e.orderBy("vec_id").first()
-    qv = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    qf = [float(v) for v in qrow["embedding"]]
     a = F.col("embedding").cast("array<double>")
-    dot = F.aggregate(F.zip_with(a, qv, lambda u, v: u * v), F.lit(0.0), lambda s, p: s + p)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda u: u * u), F.lit(0.0), lambda s, p: s + p))
-    nq = F.sqrt(F.aggregate(F.transform(qv, lambda u: u * u), F.lit(0.0), lambda s, p: s + p))
+    cos = _dot_lit_unrolled(a, qf) / (_norm(a) * F.lit(_norm_py(qf)))
     return (
         e.filter(F.col("vec_id") != qrow["vec_id"])
-        .select("vec_id", F.round(dot / (na * nq), 6).alias("cosine"))
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
