@@ -120,6 +120,150 @@ def _dot(vec: Column, lits: list[float]) -> Column:
     return _dot_lit(vec, lits)
 
 
+def _fold_dot_py(a, b):
+    """Python replica of the JVM zip fold for one pair: NULL when either
+    side is NULL, the lengths differ (null-padded zip), or any element is
+    NULL; otherwise the same sequential ((0+p₀)+p₁)+… sum in float64."""
+    if a is None or b is None:
+        return None
+    if len(a) != len(b):
+        return None
+    s = np.float64(0.0)
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        s = s + np.float64(x) * np.float64(y)
+    return s
+
+
+def _rerank_cogroup(
+    left: DataFrame, right: DataFrame, dim: int, exclude_self: bool,
+) -> DataFrame:
+    """Exact cosine scoring of all (query, candidate) pairs that share an
+    IVF cell — the kNN rerank as a CO-GROUPED Arrow kernel instead of an
+    equi-join + per-pair interpreted fold.
+
+    Why (round-8, guide §4.2/§2.3): the join materialized every candidate
+    pair WITH both 64-double vectors (41M pairs ≈ 40 GB through the join)
+    and then paid an interpreted ~20 µs zip fold per pair — 25 s of the
+    200k self-join. Here each side shuffles ONCE, keyed by cell (~110 MB
+    a side), and a per-cell numpy kernel scores the nq×ni block
+    vectorized; only the skinny (q_id, nn_id, cosine) rows come back.
+
+    Bit-exactness: the kernel accumulates ``C += Q[:,i]·Vᵀ[:,i]`` over
+    i = 0..dim-1 — per pair that is the fold's exact left-associated
+    float64 sum (no FMA, no pairwise reduction) — then divides by the
+    JVM-computed ``qn·nb`` in the fold's association, and returns the RAW
+    cosine so the JVM applies the same ``F.round``. Any irregular group
+    (null/ragged/odd-width vectors, null norms or ids) drops to a per-pair
+    Python fold that replicates the zip semantics literally (including
+    real scores for two same-but-odd-width vectors). Equality is pinned
+    against the join-path output by fingerprint and by the DuckDB oracle
+    rows (knn_join_embeddings / knn_join_self_embeddings)."""
+    import pyarrow as pa
+
+    q_t = left.schema["__knn_qid"].dataType.simpleString()
+    n_t = right.schema["__knn_nid"].dataType.simpleString()
+    out_schema = f"q_id {q_t}, nn_id {n_t}, __c double"
+
+    def _matrix(col):
+        """(n×dim float64 matrix, None) on the regular fast path, or
+        (None, list-of-python-lists) when any irregularity is present."""
+        arr = col.combine_chunks()
+        import pyarrow.compute as pc
+        if (arr.null_count == 0
+                and arr.values.null_count == 0
+                and pc.all(pc.equal(pc.list_value_length(arr), dim)).as_py()):
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(len(arr), dim), None
+        return None, arr.to_pylist()
+
+    def score(lt: "pa.Table", rt: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        nq, ni = lt.num_rows, rt.num_rows
+        if nq == 0 or ni == 0:
+            return pa.table({
+                "q_id": pa.array([], type=lt.schema.field("__knn_qid").type),
+                "nn_id": pa.array([], type=rt.schema.field("__knn_nid").type),
+                "__c": pa.array([], type=pa.float64()),
+            })
+        qids, nids = lt.column("__knn_qid"), rt.column("__knn_nid")
+        qn_col, nb_col = lt.column("__knn_qn"), rt.column("__knn_nb")
+        Q, q_rows = _matrix(lt.column("__knn_qv"))
+        V, v_rows = _matrix(rt.column("__knn_nv"))
+        regular = (
+            Q is not None and V is not None
+            and qids.null_count == 0 and nids.null_count == 0
+            and qn_col.null_count == 0 and nb_col.null_count == 0
+        )
+        if regular:
+            qid_np = qids.combine_chunks().to_numpy(zero_copy_only=False)
+            nid_np = nids.combine_chunks().to_numpy(zero_copy_only=False)
+            qn = qn_col.combine_chunks().to_numpy(zero_copy_only=False)
+            nb = nb_col.combine_chunks().to_numpy(zero_copy_only=False)
+            out_q, out_n, out_c = [], [], []
+            # bound the nq×ni score block (huge cells chunk by queries;
+            # per-element arithmetic is unchanged)
+            step = max(1, min(nq, int(4_000_000 // max(ni, 1)) or 1))
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                for lo in range(0, nq, step):
+                    hi = min(lo + step, nq)
+                    Qb = Q[lo:hi]
+                    C = np.zeros((hi - lo, ni), dtype=np.float64)
+                    for i in range(dim):
+                        C += Qb[:, i][:, None] * V[:, i][None, :]
+                    C /= (qn[lo:hi][:, None] * nb[None, :])
+                    qi = np.repeat(np.arange(lo, hi), ni)
+                    vi = np.tile(np.arange(ni), hi - lo)
+                    c = C.ravel()
+                    if exclude_self:
+                        keep = qid_np[qi] != nid_np[vi]
+                        qi, vi, c = qi[keep], vi[keep], c[keep]
+                    out_q.append(qid_np[qi])
+                    out_n.append(nid_np[vi])
+                    out_c.append(c)
+            return pa.table({
+                "q_id": pa.array(np.concatenate(out_q), type=qids.type),
+                "nn_id": pa.array(np.concatenate(out_n), type=nids.type),
+                "__c": pa.array(np.concatenate(out_c), type=pa.float64()),
+            })
+        # irregular group: per-pair python fold, exact zip semantics
+        q_rows = q_rows if q_rows is not None else [list(r) for r in Q]
+        v_rows = v_rows if v_rows is not None else [list(r) for r in V]
+        qid_l, nid_l = qids.to_pylist(), nids.to_pylist()
+        qn_l, nb_l = qn_col.to_pylist(), nb_col.to_pylist()
+        oq, on, oc = [], [], []
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            for a in range(nq):
+                for b in range(ni):
+                    if exclude_self and (
+                            qid_l[a] is None or nid_l[b] is None
+                            or qid_l[a] == nid_l[b]):
+                        continue
+                    dot = _fold_dot_py(q_rows[a], v_rows[b])
+                    if dot is None or qn_l[a] is None or nb_l[b] is None:
+                        c = None
+                    else:
+                        c = float(dot / (np.float64(qn_l[a]) * np.float64(nb_l[b])))
+                    oq.append(qid_l[a])
+                    on.append(nid_l[b])
+                    oc.append(c)
+        return pa.table({
+            "q_id": pa.array(oq, type=qids.type),
+            "nn_id": pa.array(on, type=nids.type),
+            "__c": pa.array(oc, type=pa.float64()),
+        })
+
+    out = (
+        left.groupby("__knn_cell")
+        .cogroup(right.groupby("ivf_cell"))
+        .applyInArrow(score, schema=out_schema)
+    )
+    return out.select(
+        F.col("q_id"), F.col("nn_id"), F.round("__c", 6).alias("cosine")
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, p: s + p)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, p: s + p))
@@ -543,27 +687,23 @@ def knn_join(
         F.col("__knn_qn"),
         F.explode(probes).alias("__knn_cell"),
     )
-    j = qp.join(assigned, qp["__knn_cell"] == assigned["ivf_cell"])
-    if exclude_self:
-        j = j.filter(F.col("__knn_qid") != F.col(id_col))
-    # the per-pair dot STAYS the interpreted zip fold on measurement: the
-    # unrolled chain cannot be split into JIT-able sub-methods when fused
-    # into the join's codegen (local-variable inputs), and measured 3.4×
-    # SLOWER at 41M pairs (113 s vs 31 s); the fold with pre-joined norms
-    # is the fastest bit-exact form found (BENCH notes r8)
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("__knn_qv").cast("array<double>"),
-            F.col(vec_col).cast("array<double>"),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0), lambda s, p: s + p,
+    # candidates still meet ON THE CELL ID — but as a cogroup, not an
+    # equi-join: the join materialized every pair with both vectors and
+    # paid an interpreted fold per pair (guide §2.3 "shuffle keys and
+    # metadata instead of payloads"); each side now shuffles once and the
+    # per-cell Arrow kernel emits only (q_id, nn_id, cosine). Same pair
+    # set: inner-join semantics are restored by dropping null cells and
+    # by fn returning nothing for one-sided groups; exclude_self applies
+    # inside the kernel (identical null-id handling — see _rerank_cogroup).
+    right = assigned.filter(F.col("ivf_cell").isNotNull()).select(
+        F.col(id_col).alias("__knn_nid"),
+        F.col(vec_col).alias("__knn_nv"),
+        F.col("__knn_nb"),
+        F.col("ivf_cell"),
     )
-    cos = dot / (F.col("__knn_qn") * F.col("__knn_nb"))
-    scored = j.select(
-        F.col("__knn_qid").alias("q_id"),
-        F.col(id_col).alias("nn_id"),
-        F.round(cos, 6).alias("cosine"),
+    scored = _rerank_cogroup(
+        qp.filter(F.col("__knn_cell").isNotNull()), right,
+        len(cents[0][1]), exclude_self,
     )
     from pyspark.sql import Window
 
