@@ -24,6 +24,12 @@ def plan_of(df) -> str:
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # Plan-audit mode (round-8): the dedup detectors materialize their
+    # shared intermediates with localCheckpoint, which truncates the lazy
+    # plan to the post-checkpoint stub — disable checkpointing here so
+    # PLANS.md asserts on the FULL pipeline shape (identical expressions,
+    # identical results; see dedup._ckpt).
+    os.environ["IA_NO_LOCAL_CKPT"] = "1"
     from intervalaverage_spark import queries as q
     from intervalaverage_spark.session import get_spark
 
@@ -549,18 +555,28 @@ def main() -> None:
         knn_join(emb23.filter(F.col("vec_id") % 25 == 0), emb23,
                  "vec_id", "embedding", "vec_id", "embedding",
                  k=5, n_cells=16, nprobe=2, exclude_self=True),
-        must=["Window"],
+        must=["Window", "FlatMapCoGroupsInArrow"],
         must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
                   "BatchEvalPython", "FlatMapGroupsInPandas",
-                  "ArrowEvalPython"],
+                  "SortMergeJoin"],
         note=(
             "Every query explodes its nprobe nearest cells (literal-"
-            "centroid cosines — zero shuffle), candidates meet in an "
-            "equi-join on the cell id, and the exact re-rank window "
-            "partitions by query id. Candidate volume per query is "
-            "bounded by nprobe·n/n_cells; no cartesian, no Python "
-            "(the Arrow rerank measured slower and was removed — "
-            "NOTES.md)."
+            "centroid cosines — zero shuffle); candidates still meet ON "
+            "the cell id, but as a COGROUP (round-8): each side shuffles "
+            "once keyed by cell and a per-cell Arrow kernel scores the "
+            "nq×ni block vectorized with the fold's exact float64 "
+            "association, emitting only (q_id, nn_id, cosine) — the "
+            "former equi-join materialized every pair with BOTH vectors "
+            "and paid an interpreted fold per pair (25 s of the 200k "
+            "self-join; the round-5 'Arrow rerank slower' verdict was "
+            "re-measured and traced to its per-row Python cleaning, "
+            "NOTES.md r8). `FlatMapCoGroupsInArrow` is the expected "
+            "kernel node and `SortMergeJoin` must be ABSENT (no "
+            "pair-level join at all); the exact re-rank window still "
+            "partitions by query id; candidate volume per query stays "
+            "bounded by nprobe·n/n_cells. Output bit-identical to the "
+            "join form (fingerprint-pinned on the 200k corpus + DuckDB "
+            "oracle rows)."
         ),
     )
 
@@ -620,26 +636,29 @@ def main() -> None:
         ),
     )
 
-    # 26. broadcast-centroid knn_join — Arrow appears ONLY for the cell
-    # assignment/probe GEMM (the sanctioned regime); rerank stays JVM
+    # 26. broadcast-centroid knn_join — Arrow for the assignment/probe
+    # GEMM AND the per-cell cogrouped rerank kernel (round-8)
     add(
-        "knn_join method='broadcast' (GEMM assignment, JVM rerank)",
+        "knn_join method='broadcast' (GEMM assignment, cogroup rerank)",
         knn_join(emb23.filter(F.col("vec_id") % 25 == 0), emb23,
                  "vec_id", "embedding", "vec_id", "embedding",
                  k=5, n_cells=16, nprobe=2, exclude_self=True,
                  method="broadcast"),
-        must=["ArrowEvalPython", "Window"],
+        must=["ArrowEvalPython", "Window", "FlatMapCoGroupsInArrow"],
         must_not=["BroadcastNestedLoopJoin", "CartesianProduct",
-                  "BatchEvalPython", "FlatMapGroupsInPandas"],
+                  "BatchEvalPython", "FlatMapGroupsInPandas",
+                  "SortMergeJoin"],
         note=(
             "The n_cells ≈ √n path: cell assignment and probe fan-out are "
             "one numpy GEMM per Arrow batch against a broadcast centroid "
-            "matrix (`ArrowEvalPython` is EXPECTED here — the Arrow cost "
-            "is amortized n_cells ways per row, the opposite regime from "
-            "the removed per-pair rerank), while candidates still meet in "
-            "an equi-join on the cell id and the exact re-rank stays the "
-            "JVM expression window. Output equals the literal path "
-            "bit-for-bit (pytest + driver row knn_join_self_embeddings)."
+            "matrix (`ArrowEvalPython` — the Arrow cost is amortized "
+            "n_cells ways per row), and exactly ONE ArrowEvalPython per "
+            "side must appear (round-8: the optimizer used to duplicate "
+            "the assignment UDF below a pushed isnotnull filter until it "
+            "was marked nondeterministic — guide §4.4). Candidates meet "
+            "in the per-cell cogrouped Arrow rerank (see the literal "
+            "section above); output equals the literal path bit-for-bit "
+            "(pytest + driver row knn_join_self_embeddings)."
         ),
     )
     # 27. decontamination — the contaminant gram set is broadcast; the

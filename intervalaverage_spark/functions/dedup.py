@@ -32,11 +32,28 @@ payload extension (north_rule axes A+B).
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from intervalaverage_spark.functions.textstats import bind_once, tokens
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Materialize a shared intermediate once (``localCheckpoint``) —
+    round-8: the detectors reference their exploded-shingle / band-index /
+    candidate tables from several plan branches, and without
+    materialization every branch re-ran the full upstream pipeline (the
+    round-start minhash plan scanned the source 24×; guide §3.3).
+
+    ``IA_NO_LOCAL_CKPT=1`` disables it (identical results, lazily
+    recomputed branches) — the plan-audit mode BENCH/dump_plans.py uses so
+    PLANS.md can assert on the FULL pipeline shape instead of the
+    checkpointed stub."""
+    if os.environ.get("IA_NO_LOCAL_CKPT") == "1":
+        return df
+    return df.localCheckpoint()
 
 
 # --------------------------------------------------------------- shingles
@@ -115,12 +132,12 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("sh"),
-    ).localCheckpoint()
+    ).transform(_ckpt)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     kept = sh
     if max_df is not None:
         hot = (sh.groupBy("sh").count().filter(F.col("count") > max_df)
-               .select("sh").localCheckpoint())
+               .select("sh").transform(_ckpt))
         kept = sh.join(F.broadcast(hot), "sh", "left_anti")
     a, b = kept.alias("a"), kept.alias("b")
     common = (
@@ -214,7 +231,7 @@ def prefix_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, n)).alias("sh"),
-    ).localCheckpoint()
+    ).transform(_ckpt)
     # document frequency attached via a count-over-window on the shingle
     # partitioning instead of a groupBy + join back: one exchange of the
     # shingle table replaces the aggregate exchange PLUS the sort-merge
@@ -240,7 +257,7 @@ def prefix_jaccard_pairs(
     # checkpoint each side re-pays the df-join + two windows
     prefix = ranked.where(
         F.col("__rk") <= F.col("sz") - F.ceil(td * F.col("sz")) + 1
-    ).select("id", "sh", "sz", "__rk").localCheckpoint()
+    ).select("id", "sh", "sz", "__rk").transform(_ckpt)
 
     # positional filter (PPJoin's second pruning): for a QUALIFYING pair
     # the FIRST common token in the global order sits at ranks (i, j)
@@ -271,7 +288,7 @@ def prefix_jaccard_pairs(
         )
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     # verify arrays only for docs that appear in ≥1 candidate pair (the
     # _verify_jaccard idiom): the array-bearing aggregate runs over
@@ -285,7 +302,7 @@ def prefix_jaccard_pairs(
     arrs = sh.join(cand_ids, "id", "left_semi").groupBy("id").agg(
         F.collect_set("sh").alias("shs"),
         F.count(F.lit(1)).alias("sz"),
-    ).localCheckpoint()
+    ).transform(_ckpt)
     scored = (
         cand
         .join(arrs.select(F.col("id").alias("id1"),
@@ -359,7 +376,7 @@ def minhash_signature(
     if max_df is not None:
         # the stop list derives from sh AND sh feeds the anti-join below:
         # materialize once instead of exploding the corpus twice
-        sh = sh.localCheckpoint()
+        sh = sh.transform(_ckpt)
         stop_shingles = (
             sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
         )
@@ -436,7 +453,7 @@ def minhash_lsh_pairs(
     # each reference re-runs the whole signature pipeline — the
     # round-start physical plan scanned the source 24× (guide §3.3)
     band_rows = minhash_band_index(df, id_col, text_col, n, num_hashes,
-                                   bands, max_df=max_df).localCheckpoint()
+                                   bands, max_df=max_df).transform(_ckpt)
     a, b_ = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -444,7 +461,7 @@ def minhash_lsh_pairs(
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     return _verify_jaccard(df, cand, id_col, text_col, n, threshold)
 
@@ -480,7 +497,7 @@ def _verify_jaccard(
             shingles(text_col, n).alias("shs"),
         )
         .select("id", F.size("shs").alias("sz"), "shs")
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     verified = (
         cand.join(sh.withColumnsRenamed({"id": "id1", "sz": "sz1", "shs": "shs1"}), "id1")
@@ -542,7 +559,7 @@ def incremental_minhash_lsh_pairs(
     new_bands = minhash_band_index(
         new_docs, id_col, text_col, n, num_hashes, bands,
         stop_shingles=stop_shingles,
-    ).localCheckpoint()
+    ).transform(_ckpt)
     probe = F.broadcast(new_bands) if broadcast_delta else new_bands
     a, b_ = probe.alias("a"), band_index.alias("b")
     # new × old: either id order is possible — normalize to id1 < id2
@@ -561,7 +578,7 @@ def incremental_minhash_lsh_pairs(
                 & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
     )
-    cand = no.unionByName(nn).distinct().localCheckpoint()
+    cand = no.unionByName(nn).distinct().transform(_ckpt)
     return _verify_jaccard(corpus, cand, id_col, text_col, n, threshold), new_bands
 
 
@@ -615,7 +632,7 @@ def simhash_pairs(
         raise ValueError("4-chunk pigeonhole guarantees recall only for d<=3")
     # materialized once: both chunk-join sides reference it, and each
     # reference would otherwise re-run the 60-aggregate vote pass
-    sh = simhash_table(df, id_col, text_col).localCheckpoint()
+    sh = simhash_table(df, id_col, text_col).transform(_ckpt)
     chunks = sh.select(
         "id", "sim",
         F.explode(F.array(*[
@@ -680,6 +697,18 @@ def dedup_clusters(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     labels = nodes.select(F.col(id_col).alias("n"), F.col(id_col).alias("lab"))
+
+    def _label_sum(lab_df: DataFrame):
+        # decimal(38,0) so the fold cannot overflow at any id magnitude
+        return lab_df.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")).first()["s"]
+
+    # Convergence probe (round-8): min-label propagation is MONOTONE —
+    # every node's label is non-increasing — so a round changed nothing
+    # iff Σ labels is unchanged. One scalar aggregate over the freshly
+    # checkpointed labels replaces the previous per-round join-and-compare
+    # job (same decision, exactly).
+    prev_sum = _label_sum(labels)
     changed = -1
     for _ in range(max_iter):
         prop = (
@@ -689,14 +718,9 @@ def dedup_clusters(
         new_labels = (
             labels.unionByName(prop).groupBy("n").agg(F.min("lab").alias("lab"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("nw")
-            .join(labels.alias("old"), "n")
-            .filter(F.col("nw.lab") != F.col("old.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        new_sum = _label_sum(new_labels)
+        changed = 0 if new_sum == prev_sum else 1
+        labels, prev_sum = new_labels, new_sum
         if changed == 0:
             break
     if changed != 0:
