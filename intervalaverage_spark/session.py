@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet codec deliberately left at the Spark default (snappy):
+        # a round-8 A/B on the 3-tier rollup write path first read as a
+        # 16% lz4 win, but a warmed, interleaved re-run showed the four
+        # codecs indistinguishable inside the ±0.5 s noise band
+        # (BENCH/NOTES.md r8) — the original comparison was JVM-warmup
+        # ordering bias. No knob without a reproducible win.
         .config("spark.sql.session.timeZone", "UTC")
         # closed-interval math is pure integer arithmetic; ANSI overflow
         # checking is correct behavior, keep Spark 4 default (true).
